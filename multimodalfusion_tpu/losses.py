@@ -1,0 +1,219 @@
+"""Survival losses as pure, batched, jit-safe JAX functions.
+
+Numerically equivalent to the reference implementations in
+``/root/reference/utils/loss_utils.py`` (nll_loss:22, ce_loss:41,
+ranking_loss:58, CoxSurvLoss:124, RankingNLLSurvLoss:151) but vectorized:
+the reference builds the Cox risk-set matrix with Python loops and the
+ranking pairs with ``itertools.combinations``; here both are dense masked
+matrix expressions that XLA lowers onto the VPU/MXU with static shapes.
+
+All losses accept an optional ``valid`` mask (float/bool [B]) so padded
+batch entries (ragged-bag bucketing) contribute zero — the reference has
+no such notion because it forces batch_size=1.
+
+Conventions (identical to reference):
+  hazards: [B, K] per-bin conditional hazard, sigmoid(logits)
+  S:       [B, K] survival = cumprod(1 - hazards)
+  Y:       [B] int discrete time-bin label in [0, K)
+  c:       [B] censorship (1 = censored, 0 = event observed)
+  t:       [B] continuous event/censoring time
+  risks:   [B] scalar risk score (higher = worse prognosis)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _as_valid(valid, n, dtype=jnp.float32):
+    if valid is None:
+        return jnp.ones((n,), dtype=dtype)
+    return valid.astype(dtype)
+
+
+def nll_loss(hazards, S, Y, c, alpha: float = 0.15, eps: float = 1e-7,
+             valid=None):
+    """Discrete-hazard negative log-likelihood (ref loss_utils.py:22-39).
+
+    loss_i = (1-alpha) * (censored_i + uncensored_i) + alpha * uncensored_i
+    where  uncensored_i = -(1-c_i) [log S_pad[Y_i] + log h[Y_i]]
+           censored_i   = -c_i log S_pad[Y_i + 1]
+    and S_pad = [1, S].  Mean over (valid) batch entries.
+    """
+    B, K = hazards.shape
+    if S is None:
+        S = jnp.cumprod(1.0 - hazards, axis=1)
+    c = c.astype(hazards.dtype)
+    Y = Y.astype(jnp.int32)
+    S_padded = jnp.concatenate([jnp.ones((B, 1), hazards.dtype), S], axis=1)
+    s_prev = jnp.take_along_axis(S_padded, Y[:, None], axis=1)[:, 0]
+    h_y = jnp.take_along_axis(hazards, Y[:, None], axis=1)[:, 0]
+    s_y = jnp.take_along_axis(S_padded, Y[:, None] + 1, axis=1)[:, 0]
+    uncensored = -(1.0 - c) * (jnp.log(jnp.clip(s_prev, eps))
+                               + jnp.log(jnp.clip(h_y, eps)))
+    censored = -c * jnp.log(jnp.clip(s_y, eps))
+    neg_l = censored + uncensored
+    per_sample = (1.0 - alpha) * neg_l + alpha * uncensored
+    v = _as_valid(valid, B, per_sample.dtype)
+    return jnp.sum(per_sample * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def ce_loss(hazards, S, Y, c, alpha: float = 0.15, eps: float = 1e-7,
+            valid=None):
+    """Cross-entropy-flavoured survival loss (ref loss_utils.py:41-56)."""
+    B, K = hazards.shape
+    if S is None:
+        S = jnp.cumprod(1.0 - hazards, axis=1)
+    c = c.astype(hazards.dtype)
+    Y = Y.astype(jnp.int32)
+    S_padded = jnp.concatenate([jnp.ones((B, 1), hazards.dtype), S], axis=1)
+    s_prev = jnp.take_along_axis(S_padded, Y[:, None], axis=1)[:, 0]
+    h_y = jnp.take_along_axis(hazards, Y[:, None], axis=1)[:, 0]
+    s_y = jnp.take_along_axis(S, Y[:, None], axis=1)[:, 0]
+    # NB the reference uses log(x + eps) for the first term and clamp for the
+    # others — reproduced exactly.
+    reg = -(1.0 - c) * (jnp.log(s_prev + eps) + jnp.log(jnp.clip(h_y, eps)))
+    ce_l = (-c * jnp.log(jnp.clip(s_y, eps))
+            - (1.0 - c) * jnp.log(1.0 - jnp.clip(s_y, eps)))
+    per_sample = (1.0 - alpha) * ce_l + alpha * reg
+    v = _as_valid(valid, B, per_sample.dtype)
+    return jnp.sum(per_sample * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def cox_loss(risks, times, c, valid=None):
+    """Cox partial-likelihood loss (ref loss_utils.py:124-139, credit
+    cox-nnet).  Risk-set matrix R[i, j] = (t_j >= t_i) built by broadcasting
+    instead of the reference's O(n^2) Python loop.
+
+    Stability: the inner log-sum-exp is computed with a max-shift; this is
+    mathematically identical to the reference's exp/log form.
+    """
+    theta = risks.reshape(-1)
+    B = theta.shape[0]
+    c = c.astype(theta.dtype)
+    v = _as_valid(valid, B, theta.dtype)
+    times = times.reshape(-1)
+    # R[i, j] = 1 iff t_j >= t_i and j is a valid sample
+    R = (times[None, :] >= times[:, None]).astype(theta.dtype) * v[None, :]
+    # log sum_j exp(theta_j) * R_ij, stably
+    shifted = theta[None, :] - jnp.max(theta)
+    lse = jnp.log(jnp.sum(jnp.exp(shifted) * R, axis=1) + 1e-30) + jnp.max(theta)
+    per_sample = -(theta - lse) * (1.0 - c)
+    # Reference takes a plain mean over the batch (censored rows contribute 0
+    # to the numerator but still count in the denominator).
+    return jnp.sum(per_sample * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
+def ranking_loss(risks, times, c, phi: str = "sigmoid",
+                 reduction: str = "mean", valid=None):
+    """Pairwise ranking (approximate c-index) loss (ref loss_utils.py:58-101).
+
+    Comparable pair (i, j): t_i < t_j and event_i.  phi(r_i - r_j) is the
+    concordance surrogate; loss = -mean (or -sum) over comparable pairs.
+    Returns 0 when no comparable pairs exist (ref :84-85).
+    """
+    risks = risks.reshape(-1)
+    B = risks.shape[0]
+    events = 1.0 - c.astype(risks.dtype)
+    v = _as_valid(valid, B, risks.dtype)
+    times = times.reshape(-1)
+    comp = ((times[:, None] < times[None, :])
+            .astype(risks.dtype) * events[:, None] * v[:, None] * v[None, :])
+    r = risks[:, None] - risks[None, :]
+    if phi == "sigmoid":
+        vals = jax.nn.sigmoid(r)
+    elif phi == "relu":
+        vals = jax.nn.relu(r)
+    else:
+        raise ValueError(f"unknown phi {phi!r}")
+    total = jnp.sum(vals * comp)
+    n_pairs = jnp.sum(comp)
+    if reduction == "mean":
+        return jnp.where(n_pairs > 0, -total / jnp.maximum(n_pairs, 1.0), 0.0)
+    elif reduction == "sum":
+        return jnp.where(n_pairs > 0, -total, 0.0)
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def ranking_nll_loss(hazards, risks, S, Y, c, alpha: float = 0.15,
+                     phi: str = "sigmoid", reduction: str = "mean",
+                     nll_ratio: float = 0.5, valid=None):
+    """Combined ranking + NLL (ref loss_utils.py:151-164).
+
+    NOTE: the reference passes the *bin label* Y as the ranking 'times'
+    argument (loss_utils.py:159) — reproduced deliberately for parity.
+    """
+    r = ranking_loss(risks, Y.astype(hazards.dtype), c, phi=phi,
+                     reduction=reduction, valid=valid)
+    n = nll_loss(hazards, S, Y, c, alpha=alpha, valid=valid)
+    return r + n * nll_ratio
+
+
+# ---------------------------------------------------------------------------
+# Loss registry — mirrors the bag_loss dispatch in ref core_utils.py:52-64.
+# ---------------------------------------------------------------------------
+
+class LossSpec:
+    """A picklable, hashable spec for a survival loss; call via apply()."""
+
+    def __init__(self, name: str, alpha: float = 0.0, nll_ratio: float = 0.2,
+                 phi: str = "sigmoid", reduction: str = "mean"):
+        if name not in ("nll_surv", "ce_surv", "cox_surv", "ranking_surv",
+                        "ranking_nll_surv"):
+            raise NotImplementedError(f"bag_loss {name!r}")
+        self.name = name
+        self.alpha = alpha
+        self.nll_ratio = nll_ratio
+        self.phi = phi
+        self.reduction = reduction
+
+    @property
+    def uses_hazards(self) -> bool:
+        return self.name in ("nll_surv", "ce_surv", "ranking_nll_surv")
+
+    @property
+    def risk_from_survival(self) -> bool:
+        """True if risk = -sum(S) (nll family); False if risk = model scalar
+        output (cox/ranking) — ref core_utils.py:202-208."""
+        return self.uses_hazards
+
+    def apply(self, *, hazards=None, S=None, risks=None, Y=None, times=None,
+              c=None, valid=None):
+        if self.name == "nll_surv":
+            return nll_loss(hazards, S, Y, c, alpha=self.alpha, valid=valid)
+        if self.name == "ce_surv":
+            return ce_loss(hazards, S, Y, c, alpha=self.alpha, valid=valid)
+        if self.name == "cox_surv":
+            return cox_loss(risks, times, c, valid=valid)
+        if self.name == "ranking_surv":
+            return ranking_loss(risks, times, c, phi=self.phi,
+                                reduction=self.reduction, valid=valid)
+        if self.name == "ranking_nll_surv":
+            return ranking_nll_loss(hazards, risks, S, Y, c, alpha=self.alpha,
+                                    phi=self.phi, reduction=self.reduction,
+                                    nll_ratio=self.nll_ratio, valid=valid)
+        raise NotImplementedError(self.name)
+
+    def __repr__(self):
+        return (f"LossSpec({self.name!r}, alpha={self.alpha}, "
+                f"nll_ratio={self.nll_ratio})")
+
+
+def l1_reg(params) -> jnp.ndarray:
+    """L1 regularization over every parameter leaf (ref utils/utils.py:249)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if not leaves:
+        return jnp.zeros(())
+    return sum(jnp.sum(jnp.abs(p)) for p in leaves)
+
+
+def l1_reg_subtree(params, key_substrings=("fc_omic", "mm")) -> jnp.ndarray:
+    """L1 over parameter subtrees whose path contains any of the given
+    substrings (ref utils/utils.py:260-268: fc_omic + mm modules)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    total = jnp.zeros(())
+    for path, leaf in flat:
+        path_str = "/".join(str(p) for p in path)
+        if any(s in path_str for s in key_substrings):
+            total = total + jnp.sum(jnp.abs(leaf))
+    return total
