@@ -1,0 +1,242 @@
+"""Fused masked attention-MIL pooling for TPU (Pallas) with a jnp fallback.
+
+The reference computes gated-attention MIL pooling as four separate torch
+ops over a single ragged bag (ref models/model_attention_mil_path.py:50-72,
+models/model_modules.py:87-110):
+
+    a = tanh(h @ Wa + ba); b = sigmoid(h @ Wb + bb)
+    s = (a * b) @ wc + cc            # [N, 1] attention logits
+    A = softmax(s.T)                 # over the bag
+    M = A @ h                        # [1, D] pooled bag embedding
+
+which forces batch_size=1 (ref README.md:95) and reads the [N, D] bag
+from HBM twice (scoring + pooling).
+
+Here bags are batched and padded to [B, N, D] with a float mask [B, N],
+and the whole chain runs as ONE Pallas kernel per bag with an online
+(flash-style) masked softmax: each [TN, D] tile of the bag is read from
+HBM exactly once, scored on the MXU, and accumulated into running
+(max, sum, weighted-sum) registers. HBM traffic on the dominant tensor
+is halved vs. the unfused form, and B bags are processed in a single
+launch (grid = (B, N_tiles); TPU grid steps are sequential per core, so
+VMEM/SMEM scratch carries across the N_tiles axis).
+
+Gradients: ``attention_pool`` is a ``jax.custom_vjp`` whose backward pass
+is the XLA autodiff of the pure-jnp reference implementation
+(rematerialization — the bag is re-read, no [B, N] softmax is stored).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+class AttnParams(NamedTuple):
+    """Attention-net parameters (gated: all fields; ungated: Wb/bb unused).
+
+    Matches ref Attn_Net_Gated (model_modules.py:87-110): Wa/ba is the
+    tanh branch, Wb/bb the sigmoid gate, wc/cc the final projection.
+    """
+    Wa: jax.Array  # [D, Da]
+    ba: jax.Array  # [Da]
+    Wb: jax.Array  # [D, Da]
+    bb: jax.Array  # [Da]
+    wc: jax.Array  # [Da, 1]
+    cc: jax.Array  # [1]
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp reference implementation (also the backward-pass recipe).
+# ---------------------------------------------------------------------------
+
+def attention_scores(h, params: AttnParams, gated: bool = True):
+    """Raw attention logits s [B, N] (pre-softmax, unmasked)."""
+    a = jnp.tanh(h @ params.Wa + params.ba)
+    if gated:
+        b = jax.nn.sigmoid(h @ params.Wb + params.bb)
+        a = a * b
+    s = a @ params.wc + params.cc  # [B, N, 1]
+    return s[..., 0]
+
+
+def masked_softmax_pool(s, h, mask):
+    """Masked softmax of s [B, N] over N, then pooled = A @ h.
+
+    Returns (pooled [B, D], attn [B, N]).  Fully-masked bags pool to 0.
+    """
+    s = jnp.where(mask > 0, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m) * (mask > 0)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    attn = p / jnp.maximum(l, 1e-30)
+    pooled = jnp.einsum("bn,bnd->bd", attn, h)
+    return pooled, attn
+
+
+def _pool_reference(h, mask, params: AttnParams, gated: bool):
+    s = attention_scores(h, params, gated)
+    pooled, _ = masked_softmax_pool(s, h, mask)
+    return pooled
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel.
+# ---------------------------------------------------------------------------
+
+def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
+                       wc_ref, cc_ref, out_ref, acc_ref, m_ref, l_ref, *,
+                       gated: bool):
+    """One (bag, tile) grid step of the online masked softmax pool.
+
+    h_ref:   [1, TN, D] VMEM tile of the bag
+    mask_ref:[1, 1, TN] VMEM tile of the validity mask
+    wa/wb:   [D, Da], ba/bb: [1, Da], wc: [Da, 1]  (replicated weights)
+    out_ref: [1, 1, D]  output block (same block for every tile step)
+    acc_ref: [1, D] f32 VMEM scratch — running weighted sum
+    m_ref,l_ref: [1,1] f32 SMEM scratch — running max / normalizer
+
+    (mask/out are 3D with a singleton middle/leading axis so their last two
+    block dims satisfy the TPU tiling rule for B > 1.)
+    """
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[0, 0] = NEG_INF
+        l_ref[0, 0] = 0.0
+
+    h = h_ref[0].astype(jnp.float32)          # [TN, D]
+    mask = mask_ref[0].astype(jnp.float32)    # [1, TN]
+
+    a = jnp.tanh(jnp.dot(h, wa_ref[...], preferred_element_type=jnp.float32)
+                 + ba_ref[...])
+    if gated:
+        b = jax.nn.sigmoid(
+            jnp.dot(h, wb_ref[...], preferred_element_type=jnp.float32)
+            + bb_ref[...])
+        a = a * b
+    s = (jnp.dot(a, wc_ref[...], preferred_element_type=jnp.float32)
+         + cc_ref[0, 0])
+    s = s.reshape(1, -1)                       # [1, TN]
+    s = jnp.where(mask > 0, s, NEG_INF)
+
+    m_prev = m_ref[0, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s))
+    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new) * (mask > 0)        # [1, TN]
+    l_ref[0, 0] = l_ref[0, 0] * corr + jnp.sum(p)
+    # [1, TN] @ [TN, D] on the MXU
+    acc_ref[...] = acc_ref[...] * corr + jnp.dot(
+        p, h, preferred_element_type=jnp.float32)
+    m_ref[0, 0] = m_new
+
+    @pl.when(j == n_tiles - 1)
+    def _finalize():
+        out_ref[0] = (acc_ref[...] /
+                      jnp.maximum(l_ref[0, 0], 1e-30)).astype(out_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
+                       tile_n: int = 512, interpret: bool = False):
+    B, N, D = h.shape
+    Da = params.Wa.shape[1]
+    tn = min(tile_n, _round_up(N, 128))
+    n_pad = _round_up(N, tn)
+    if n_pad != N:
+        h = jnp.pad(h, ((0, 0), (0, n_pad - N), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_pad - N)))
+    n_tiles = n_pad // tn
+
+    kernel = functools.partial(_fused_pool_kernel, gated=gated)
+    grid = (B, n_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tn, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, tn), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((Da, 1), lambda b, j: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), h.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, D), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_pad * D * (2 * Da if gated else Da),
+            bytes_accessed=B * n_pad * D * h.dtype.itemsize,
+            transcendentals=B * n_pad * (2 * Da if gated else Da),
+        ),
+    )(h, mask[:, None, :], params.Wa, params.ba.reshape(1, -1), params.Wb,
+      params.bb.reshape(1, -1), params.wc,
+      params.cc.reshape(1, 1).astype(jnp.float32))
+    return out[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP.
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def attention_pool(h, mask, params: AttnParams, gated: bool = True):
+    """Fused gated/ungated attention-MIL pooling.
+
+    h:    [B, N, D] padded bag features (post-FC, ref 256-d)
+    mask: [B, N]    1.0 for real instances, 0.0 for padding
+    params: AttnParams
+    Returns pooled [B, D].
+    """
+    if _use_pallas():
+        return _fused_pool_pallas(h, mask, params, gated)
+    return _pool_reference(h, mask, params, gated)
+
+
+def _attention_pool_fwd(h, mask, params, gated):
+    out = attention_pool(h, mask, params, gated)
+    return out, (h, mask, params)
+
+
+def _attention_pool_bwd(gated, res, g):
+    h, mask, params = res
+    # Rematerialized backward via XLA autodiff of the reference form.
+    _, vjp = jax.vjp(lambda hh, pp: _pool_reference(hh, mask, pp, gated),
+                     h, params)
+    dh, dparams = vjp(g)
+    return dh, None, dparams
+
+
+attention_pool.defvjp(_attention_pool_fwd, _attention_pool_bwd)
+
+
+def attention_pool_with_attn(h, mask, params: AttnParams, gated: bool = True):
+    """Unfused path that also returns the attention distribution and raw
+    logits (for interpretability / ``attention_only`` escapes,
+    ref model_attention_mil_path.py:68-70)."""
+    s = attention_scores(h, params, gated)
+    pooled, attn = masked_softmax_pool(s, h, mask)
+    return pooled, attn, s

@@ -1,0 +1,113 @@
+"""Pallas fused attention pooling vs the jnp reference, on CPU in
+interpret mode (the TPU path uses the identical kernel compiled)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodalfusion_tpu.ops import mil_attention as mil
+
+
+def make_inputs(rng, B=3, N=300, D=128, Da=64, dtype=np.float32):
+    h = rng.normal(size=(B, N, D)).astype(dtype)
+    lens = rng.integers(1, N + 1, size=B)
+    mask = (np.arange(N)[None, :] < lens[:, None]).astype(dtype)
+    params = mil.AttnParams(
+        Wa=rng.normal(size=(D, Da)).astype(dtype) * 0.1,
+        ba=rng.normal(size=(Da,)).astype(dtype) * 0.1,
+        Wb=rng.normal(size=(D, Da)).astype(dtype) * 0.1,
+        bb=rng.normal(size=(Da,)).astype(dtype) * 0.1,
+        wc=rng.normal(size=(Da, 1)).astype(dtype) * 0.1,
+        cc=np.zeros((1,), dtype),
+    )
+    return jnp.array(h), jnp.array(mask), jax.tree.map(jnp.array, params)
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_pallas_matches_reference(rng, gated):
+    h, mask, params = make_inputs(rng)
+    ref = mil._pool_reference(h, mask, params, gated)
+    out = mil._fused_pool_pallas(h, mask, params, gated, tile_n=128,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_tiling_invariance(rng):
+    h, mask, params = make_inputs(rng, B=2, N=512, D=64, Da=32)
+    outs = [mil._fused_pool_pallas(h, mask, params, True, tile_n=tn,
+                                   interpret=True)
+            for tn in (128, 256, 512)]
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(o), np.asarray(outs[0]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_matches_singleton_torch_semantics(rng):
+    """Batch-of-bags pooling equals per-bag softmax pooling (the reference
+    batch_size=1 semantics, model_attention_mil_path.py:50-60)."""
+    h, mask, params = make_inputs(rng, B=4, N=200, D=32, Da=16)
+    batched = mil._pool_reference(h, mask, params, True)
+    for i in range(h.shape[0]):
+        n = int(mask[i].sum())
+        hi = h[i, :n][None]
+        s = mil.attention_scores(hi, params, True)
+        a = jax.nn.softmax(s, axis=1)
+        expected = jnp.einsum("bn,bnd->bd", a, hi)
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(expected[0]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_grad_matches_reference(rng):
+    h, mask, params = make_inputs(rng, B=2, N=100, D=32, Da=16)
+
+    def loss_custom(h, params):
+        return jnp.sum(mil.attention_pool(h, mask, params, True) ** 2)
+
+    def loss_ref(h, params):
+        return jnp.sum(mil._pool_reference(h, mask, params, True) ** 2)
+
+    g1h, g1p = jax.grad(loss_custom, argnums=(0, 1))(h, params)
+    g2h, g2p = jax.grad(loss_ref, argnums=(0, 1))(h, params)
+    np.testing.assert_allclose(np.asarray(g1h), np.asarray(g2h), rtol=1e-4,
+                               atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1p), jax.tree.leaves(g2p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_padding_is_ignored(rng):
+    """Growing the padded region must not change the result."""
+    h, mask, params = make_inputs(rng, B=2, N=130, D=32, Da=16)
+    h2 = jnp.pad(h, ((0, 0), (0, 126), (0, 0)), constant_values=7.0)
+    mask2 = jnp.pad(mask, ((0, 0), (0, 126)))
+    o1 = mil._pool_reference(h, mask, params, True)
+    o2 = mil._pool_reference(h2, mask2, params, True)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5,
+                               atol=1e-7)
+    p1 = mil._fused_pool_pallas(h, mask, params, True, tile_n=128,
+                                interpret=True)
+    p2 = mil._fused_pool_pallas(h2, mask2, params, True, tile_n=128,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_fully_masked_bag_pools_to_zero(rng):
+    h, mask, params = make_inputs(rng, B=2, N=64, D=32, Da=16)
+    mask = mask.at[1].set(0.0)
+    out = mil._pool_reference(h, mask, params, True)
+    assert np.allclose(np.asarray(out[1]), 0.0)
+    outp = mil._fused_pool_pallas(h, mask, params, True, tile_n=64,
+                                  interpret=True)
+    assert np.allclose(np.asarray(outp[1]), 0.0, atol=1e-6)
+
+
+def test_attn_distribution_sums_to_one(rng):
+    h, mask, params = make_inputs(rng, B=3, N=50, D=16, Da=8)
+    _, attn, _ = mil.attention_pool_with_attn(h, mask, params, True)
+    sums = np.asarray(jnp.sum(attn, axis=1))
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+    assert np.all(np.asarray(attn) * (1 - np.asarray(mask)) == 0)
