@@ -1,0 +1,65 @@
+"""AttentionPool linen module: declares attention-net parameters and
+dispatches between the fused Pallas kernel and the unfused jnp path
+(needed for attention-branch dropout and attention read-out)."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodalfusion_tpu.models.modules import xavier_normal
+from multimodalfusion_tpu.ops import mil_attention as mil
+
+
+class AttentionPool(nn.Module):
+    """Masked attention-MIL pooling over padded bags.
+
+    h [B, N, L], mask [B, N] -> pooled [B, L] (and optionally attn [B, N],
+    raw scores [B, N]).
+
+    Parameters mirror ref Attn_Net(_Gated) (model_modules.py:70-110):
+    attention_a (tanh branch), attention_b (sigmoid gate), attention_c
+    (projection to a scalar logit per instance).
+    """
+    D: int = 256
+    gated: bool = True
+    attn_dropout: bool = False  # ref's `dropout` flag on the branches
+
+    @nn.compact
+    def __call__(self, h, mask, deterministic: bool = True,
+                 return_attn: bool = False):
+        L = h.shape[-1]
+        zeros = jax.nn.initializers.zeros
+        Wa = self.param("Wa", xavier_normal, (L, self.D))
+        ba = self.param("ba", zeros, (self.D,))
+        if self.gated:
+            Wb = self.param("Wb", xavier_normal, (L, self.D))
+            bb = self.param("bb", zeros, (self.D,))
+        else:
+            Wb, bb = jnp.zeros((L, self.D), h.dtype), jnp.zeros((self.D,),
+                                                                h.dtype)
+        wc = self.param("wc", xavier_normal, (self.D, 1))
+        cc = self.param("cc", zeros, (1,))
+        params = mil.AttnParams(Wa=Wa, ba=ba, Wb=Wb, bb=bb, wc=wc, cc=cc)
+
+        needs_unfused = return_attn or (self.attn_dropout
+                                        and not deterministic)
+        if not needs_unfused:
+            pooled = mil.attention_pool(h, mask, params, self.gated)
+            return pooled
+
+        # Unfused path with optional attention-branch dropout
+        # (ref model_modules.py:97-99).
+        a = jnp.tanh(h @ Wa + ba)
+        if self.attn_dropout:
+            a = nn.Dropout(0.25, deterministic=deterministic)(a)
+        if self.gated:
+            b = jax.nn.sigmoid(h @ Wb + bb)
+            if self.attn_dropout:
+                b = nn.Dropout(0.25, deterministic=deterministic)(b)
+            a = a * b
+        s = (a @ wc + cc)[..., 0]
+        pooled, attn = mil.masked_softmax_pool(s, h, mask)
+        if return_attn:
+            return pooled, attn, s
+        return pooled
