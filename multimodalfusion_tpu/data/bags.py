@@ -1,0 +1,60 @@
+"""Padded/bucketed batching of variable-length MIL bags.
+
+The reference concatenates ragged bags and forces batch_size=1
+(ref utils/utils.py:35-46, README.md:95).  For a static-shape compiler we
+pad each batch of bags to a shared bucketed length and carry a mask; the
+bucket ladder keeps the number of distinct jit signatures small.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# bucket ladder for bag lengths: 128 … 65536 by powers of two
+_BUCKETS = [128 * (2 ** k) for k in range(10)]
+
+
+def bucket_len(n: int) -> int:
+    """Smallest bucket >= n (>= 128 so TPU lanes stay aligned)."""
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _BUCKETS[-1] - 1) // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+def pad_bags(bags: Sequence[Optional[np.ndarray]], feat_dim: int,
+             dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Stack a list of [n_i, D] bags (None = missing modality -> all-pad)
+    into (padded [B, N_bucket, D], mask [B, N_bucket])."""
+    n_max = max([b.shape[0] for b in bags if b is not None], default=1)
+    n_pad = bucket_len(n_max)
+    B = len(bags)
+    out = np.zeros((B, n_pad, feat_dim), dtype=dtype)
+    mask = np.zeros((B, n_pad), dtype=np.float32)
+    for i, b in enumerate(bags):
+        if b is None or b.shape[0] == 0:
+            continue
+        n = b.shape[0]
+        out[i, :n] = b
+        mask[i, :n] = 1.0
+    return out, mask
+
+
+def intersect_slices(features: List[np.ndarray],
+                     slice_ids: List[np.ndarray]) -> np.ndarray:
+    """Align multi-sequence radiology bags on their common slice indices
+    and concatenate along the feature axis (ref
+    dataset_survival.py:346-348).  Returns [N_common, sum(D_m)]."""
+    common = set(slice_ids[0].tolist())
+    for s in slice_ids[1:]:
+        common &= set(s.tolist())
+    aligned = []
+    for f, s in zip(features, slice_ids):
+        sel = np.isin(s, list(common))
+        # preserve each modality's own ordering of its kept slices,
+        # matching the reference's boolean-mask indexing
+        aligned.append(f[sel])
+    n = min(a.shape[0] for a in aligned)
+    aligned = [a[:n] for a in aligned]
+    return np.concatenate(aligned, axis=1)

@@ -1,0 +1,113 @@
+"""Host-side batch iterators producing fixed-shape (bucketed) numpy
+batches ready for jit — the TPU-native replacement for the reference's
+torch DataLoader + ragged collate (ref utils/utils.py:35-141).
+
+Batches are dicts of numpy arrays with static shapes per (batch_size,
+bag-bucket) pair; partial batches are padded and masked via ``valid``.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from multimodalfusion_tpu.data.bags import pad_bags
+from multimodalfusion_tpu.data.survival_dataset import Sample, Split
+
+
+def usable_indices(split: Split) -> List[int]:
+    """Reference train/val loops skip samples missing any modality required
+    by the mode (ref core_utils.py:185-192) — pre-filter them here.
+    For pretrained stage, everything is usable (zeros embedding)."""
+    ds = split.ds
+    if ds.pretrained:
+        return list(range(len(split)))
+    idx = []
+    for i in range(len(split)):
+        s = split.get_sample(i)
+        ok = True
+        for m in ("radio", "path", "omic"):
+            if m in ds.mode and not s.present.get(m, False):
+                ok = False
+                break
+        if ok:
+            idx.append(i)
+    return idx
+
+
+def _batch_from_samples(samples: List[Sample], mode: str, pretrained: bool,
+                        batch_size: int, n_radio_feat: int,
+                        n_path_feat: int = 1024) -> Dict[str, np.ndarray]:
+    B = batch_size
+    n = len(samples)
+    batch: Dict[str, np.ndarray] = {
+        "Y": np.zeros(B, np.int32),
+        "t": np.zeros(B, np.float32),
+        "c": np.zeros(B, np.float32),
+        "valid": np.zeros(B, np.float32),
+    }
+    for i, s in enumerate(samples):
+        batch["Y"][i] = s.disc_label
+        batch["t"][i] = s.event_time
+        batch["c"][i] = s.censorship
+        batch["valid"][i] = 1.0
+    batch["subject_ids"] = np.array(
+        [s.subject_id for s in samples] + [""] * (B - n), dtype=object)
+
+    if pretrained:
+        for key, attr in (("h_radio", "h_radio"), ("h_path", "h_path"),
+                          ("h_omic", "h_omic")):
+            arr = np.zeros((B, 256), np.float32)
+            for i, s in enumerate(samples):
+                v = getattr(s, attr)
+                if v is not None:
+                    arr[i] = v
+            batch[key] = arr
+        return batch
+
+    if "radio" in mode:
+        bags = [s.radio for s in samples] + [None] * (B - n)
+        batch["radio_bags"], batch["radio_mask"] = pad_bags(
+            bags, n_radio_feat)
+    if "path" in mode:
+        bags = [s.path for s in samples] + [None] * (B - n)
+        batch["path_bags"], batch["path_mask"] = pad_bags(bags, n_path_feat)
+    if "omic" in mode:
+        G = next((s.omic.shape[0] for s in samples if s.omic is not None), 1)
+        arr = np.zeros((B, G), np.float32)
+        for i, s in enumerate(samples):
+            if s.omic is not None:
+                arr[i] = s.omic
+        batch["genomic"] = arr
+    return batch
+
+
+def iter_batches(split: Split, batch_size: int = 1, shuffle: bool = False,
+                 weighted: bool = False, seed: int = 0,
+                 indices: Optional[List[int]] = None,
+                 drop_last: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield fixed-shape batches.  ``weighted`` replicates the reference's
+    WeightedRandomSampler over (bin, censorship) classes
+    (ref utils/utils.py:116-117)."""
+    ds = split.ds
+    if indices is None:
+        indices = usable_indices(split)
+    if not indices:
+        return
+    rng = np.random.default_rng(seed)
+    order = list(indices)
+    if weighted:
+        w = split.class_weights()[indices]
+        order = list(rng.choice(indices, size=len(indices), replace=True,
+                                p=w / w.sum()))
+    elif shuffle:
+        rng.shuffle(order)
+
+    n_radio_feat = len(ds.modalities) * 1024
+    for start in range(0, len(order), batch_size):
+        chunk = order[start:start + batch_size]
+        if drop_last and len(chunk) < batch_size:
+            return
+        samples = [split.get_sample(i) for i in chunk]
+        yield _batch_from_samples(samples, ds.mode, ds.pretrained,
+                                  batch_size, n_radio_feat)

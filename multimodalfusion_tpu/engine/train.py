@@ -1,0 +1,459 @@
+"""Per-fold training engine: jit-compiled train/eval steps, early
+stopping, checkpoints, survival summaries.
+
+TPU-native rewrite of ref utils/core_utils.py (stage 2) and
+utils/core_utils_pretrained.py (stage 4): the epoch loop feeds
+fixed-shape bucketed batches into a single donated jit step; metrics are
+aggregated on host.  One engine serves both stages — the model zoo and
+batch adapters differ, the loop does not.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from multimodalfusion_tpu import losses as losses_mod
+from multimodalfusion_tpu import metrics as metrics_mod
+from multimodalfusion_tpu.data.loaders import iter_batches, usable_indices
+from multimodalfusion_tpu.models import (MaxNet, MMAttentionMIL,
+                                         MultimodalPretrained, PathAMIL,
+                                         RadioAMIL, UnimodalPretrained)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Union of the reference CLI knobs that reach the engine
+    (ref main.py:96-144, main_pretrained.py:95-135)."""
+    model_type: str = "max_net"
+    mode: str = "omic"
+    modalities: Tuple[str, ...] = ("T1", "T2", "T1Gd", "FLAIR")
+    n_classes: int = 4
+    bag_loss: str = "nll_surv"
+    alpha_surv: float = 0.0
+    nll_ratio: float = 0.2
+    reg_type: str = "None"           # None | all | omic_mm
+    lambda_reg: float = 1e-4
+    lr: float = 2e-4
+    reg: float = 1e-5                # weight decay
+    opt: str = "adam"
+    max_epochs: int = 20
+    batch_size: int = 1
+    gc: int = 1                      # gradient accumulation steps
+    early_stopping: bool = False
+    weighted_sample: bool = False
+    drop_out: bool = False           # attention-branch dropout
+    gate_path: bool = False
+    gate_radio: bool = False
+    gate: bool = False
+    fusion: Optional[str] = None
+    radio_fusion: Optional[str] = None
+    model_size_wsi: str = "small"
+    model_size_radio: str = "small"
+    model_size_omic: str = "small"
+    omic_input_dim: int = 0
+    seed: int = 1
+    results_dir: str = "./results"
+    split_mode: str = "train_val"
+    # stage-4 extras
+    train_type: Optional[str] = None
+    n_layers: int = 1
+    pretrained: bool = False
+    # engine knobs (no reference equivalent)
+    bag_dtype: str = "float32"
+
+
+# ---------------------------------------------------------------------------
+# model factory + batch adapter
+# ---------------------------------------------------------------------------
+
+def build_model(cfg: TrainConfig):
+    """Model dispatch (ref core_utils.py:76-98,
+    core_utils_pretrained.py:74-87)."""
+    if cfg.pretrained:
+        kwargs = dict(mode=cfg.mode, train_type=cfg.train_type,
+                      bag_loss=cfg.bag_loss, n_classes=cfg.n_classes,
+                      n_layers=cfg.n_layers)
+        if cfg.model_type == "mm_attention_mil":
+            return MultimodalPretrained(**kwargs)
+        return UnimodalPretrained(**kwargs)
+    if cfg.model_type == "max_net":
+        return MaxNet(model_size=cfg.model_size_omic, bag_loss=cfg.bag_loss,
+                      n_classes=cfg.n_classes)
+    if cfg.model_type == "path_attention_mil":
+        return PathAMIL(model_size=cfg.model_size_wsi, gate=cfg.gate_path,
+                        attn_dropout=cfg.drop_out, n_classes=cfg.n_classes)
+    if cfg.model_type == "radio_attention_mil":
+        return RadioAMIL(n_modalities=len(cfg.modalities),
+                         radio_fusion=cfg.radio_fusion or "concat",
+                         model_size=cfg.model_size_radio,
+                         gate=cfg.gate_radio, attn_dropout=cfg.drop_out,
+                         n_classes=cfg.n_classes)
+    if cfg.model_type == "mm_attention_mil":
+        return MMAttentionMIL(mode=cfg.mode,
+                              n_modalities=len(cfg.modalities),
+                              omic_input_dim=cfg.omic_input_dim,
+                              fusion=cfg.fusion or "tensor",
+                              radio_fusion=cfg.radio_fusion or "concat",
+                              gate=cfg.gate, gate_path=cfg.gate_path,
+                              gate_radio=cfg.gate_radio,
+                              attn_dropout=cfg.drop_out,
+                              model_size_radio=cfg.model_size_radio,
+                              model_size_wsi=cfg.model_size_wsi,
+                              model_size_omic=cfg.model_size_omic,
+                              n_classes=cfg.n_classes)
+    raise NotImplementedError(cfg.model_type)
+
+
+def model_inputs(cfg: TrainConfig, batch: Dict[str, np.ndarray]) -> dict:
+    """Map a loader batch onto the model's call signature."""
+    if cfg.pretrained:
+        return dict(h_radio=batch["h_radio"], h_path=batch["h_path"],
+                    h_omic=batch["h_omic"])
+    if cfg.model_type == "max_net":
+        return dict(genomic_features=batch["genomic"])
+    if cfg.model_type == "path_attention_mil":
+        return dict(bags=batch["path_bags"], mask=batch["path_mask"])
+    if cfg.model_type == "radio_attention_mil":
+        return dict(bags=batch["radio_bags"], mask=batch["radio_mask"])
+    if cfg.model_type == "mm_attention_mil":
+        kw = {}
+        if "radio" in cfg.mode:
+            kw.update(radio_bags=batch["radio_bags"],
+                      radio_mask=batch["radio_mask"])
+        if "path" in cfg.mode:
+            kw.update(path_bags=batch["path_bags"],
+                      path_mask=batch["path_mask"])
+        if "omic" in cfg.mode:
+            kw.update(genomic=batch["genomic"])
+        return kw
+    raise NotImplementedError(cfg.model_type)
+
+
+def make_optimizer(cfg: TrainConfig):
+    """torch.optim.Adam/SGD with L2 weight decay added to the gradient
+    before the moment update (ref utils/utils.py:144-151)."""
+    if cfg.opt == "adam":
+        tx = optax.chain(optax.add_decayed_weights(cfg.reg),
+                         optax.scale_by_adam(),
+                         optax.scale(-cfg.lr))
+    elif cfg.opt == "sgd":
+        tx = optax.chain(optax.add_decayed_weights(cfg.reg),
+                         optax.trace(decay=0.9),
+                         optax.scale(-cfg.lr))
+    else:
+        raise NotImplementedError(cfg.opt)
+    if cfg.gc > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gc)
+    return tx
+
+
+def make_loss_spec(cfg: TrainConfig) -> losses_mod.LossSpec:
+    return losses_mod.LossSpec(cfg.bag_loss, alpha=cfg.alpha_surv,
+                               nll_ratio=cfg.nll_ratio)
+
+
+def _reg_fn(cfg: TrainConfig):
+    if cfg.reg_type == "all":
+        return losses_mod.l1_reg
+    if cfg.reg_type == "omic_mm":
+        return lambda p: losses_mod.l1_reg_subtree(p, ("fc_omic", "mm"))
+    return None
+
+
+# ---------------------------------------------------------------------------
+# jitted steps
+# ---------------------------------------------------------------------------
+
+def make_steps(cfg: TrainConfig, model, tx):
+    loss_spec = make_loss_spec(cfg)
+    reg_fn = _reg_fn(cfg)
+
+    def _forward(variables, batch, deterministic, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        mutable = [] if deterministic else ["batch_stats"]
+        kwargs = model_inputs(cfg, batch)
+        if "batch_stats" in variables or not deterministic:
+            out, updates = model.apply(variables, deterministic=deterministic,
+                                       rngs=rngs, mutable=mutable, **kwargs)
+        else:
+            out = model.apply(variables, deterministic=deterministic,
+                              rngs=rngs, **kwargs)
+            updates = {}
+        return out, updates
+
+    def _loss_from_out(out, batch):
+        return loss_spec.apply(hazards=out["hazards"], S=out["S"],
+                               risks=out["risk"], Y=batch["Y"],
+                               times=batch["t"], c=batch["c"],
+                               valid=batch["valid"])
+
+    @jax.jit
+    def train_step(variables, opt_state, batch, rng):
+        params = variables["params"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            vs = {"params": params, **rest}
+            out, updates = _forward(vs, batch, False, rng)
+            loss = _loss_from_out(out, batch)
+            total = loss
+            if reg_fn is not None:
+                total = total + cfg.lambda_reg * reg_fn(params)
+            return total, (loss, out, updates)
+
+        (total, (loss, out, updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates_tx, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates_tx)
+        new_vars = {"params": params, **rest}
+        if "batch_stats" in updates:
+            new_vars["batch_stats"] = updates["batch_stats"]
+        return new_vars, opt_state, {"loss": loss, "total": total,
+                                     "risk": out["risk"], "S": out["S"]}
+
+    @jax.jit
+    def eval_step(variables, batch):
+        out, _ = _forward(variables, batch, True, None)
+        loss = _loss_from_out(out, batch)
+        return {"loss": loss, "risk": out["risk"], "S": out["S"],
+                "hazards": out["hazards"]}
+
+    return train_step, eval_step
+
+
+# ---------------------------------------------------------------------------
+# early stopping (ref utils/utils.py:167-214)
+# ---------------------------------------------------------------------------
+
+class EarlyStopping:
+    def __init__(self, warmup=0, patience=20, stop_epoch=100, verbose=False):
+        self.warmup = warmup
+        self.patience = patience
+        self.stop_epoch = stop_epoch
+        self.verbose = verbose
+        self.counter = 0
+        self.best_score = None
+        self.early_stop = False
+        self.val_loss_min = np.inf
+
+    def __call__(self, epoch, val_loss, variables, ckpt_name=None):
+        score = -val_loss
+        if epoch < self.warmup:
+            return
+        if self.best_score is None:
+            self.best_score = score
+            self._save(val_loss, variables, ckpt_name)
+        elif score < self.best_score:
+            self.counter += 1
+            if self.verbose:
+                print(f"EarlyStopping counter: {self.counter} / "
+                      f"{self.patience}")
+            if self.counter >= self.patience and epoch > self.stop_epoch:
+                self.early_stop = True
+        else:
+            self.best_score = score
+            self._save(val_loss, variables, ckpt_name)
+            self.counter = 0
+
+    def _save(self, val_loss, variables, ckpt_name):
+        if ckpt_name is not None:
+            save_checkpoint(ckpt_name, variables)
+        self.val_loss_min = val_loss
+
+
+def save_checkpoint(path: str, variables) -> None:
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(variables))
+
+
+def load_checkpoint(path: str, variables_template):
+    with open(path, "rb") as f:
+        return serialization.from_bytes(variables_template, f.read())
+
+
+# ---------------------------------------------------------------------------
+# epoch loops
+# ---------------------------------------------------------------------------
+
+def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
+               eval_step, rng, training: bool, epoch: int, seed: int):
+    all_risk, all_c, all_t, losses = [], [], [], []
+    it = iter_batches(split, batch_size=cfg.batch_size,
+                      shuffle=training, weighted=training and
+                      cfg.weighted_sample, seed=seed, indices=indices)
+    for batch in it:
+        subject_ids = batch.pop("subject_ids")
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if training:
+            rng, sub = jax.random.split(rng)
+            variables, opt_state, out = train_step(variables, opt_state,
+                                                   jbatch, sub)
+        else:
+            out = eval_step(variables, jbatch)
+        valid = batch["valid"] > 0
+        risk = np.asarray(out["risk"]).reshape(-1)[valid]
+        all_risk.append(risk)
+        all_c.append(batch["c"][valid])
+        all_t.append(batch["t"][valid])
+        losses.append(float(out["loss"]))
+    all_risk = np.concatenate(all_risk) if all_risk else np.zeros(0)
+    all_c = np.concatenate(all_c) if all_c else np.zeros(0)
+    all_t = np.concatenate(all_t) if all_t else np.zeros(0)
+    try:
+        cindex = metrics_mod.concordance_index_censored(
+            (1 - all_c).astype(bool), all_t, all_risk)[0]
+    except ValueError:
+        cindex = float("nan")
+    return variables, opt_state, rng, {
+        "loss": float(np.mean(losses)) if losses else float("nan"),
+        "c_index": cindex, "risk": all_risk, "c": all_c, "t": all_t}
+
+
+def summary_survival(cfg, split, variables, eval_step,
+                     indices=None) -> Tuple[dict, float]:
+    """Sequential pass collecting per-patient risks (ref
+    core_utils.py:358-429)."""
+    if indices is None:
+        indices = usable_indices(split)
+    all_ids, all_risk, all_c, all_t, all_label, all_S = [], [], [], [], [], []
+    for batch in iter_batches(split, batch_size=cfg.batch_size,
+                              shuffle=False, indices=indices):
+        subject_ids = batch.pop("subject_ids")
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        out = eval_step(variables, jbatch)
+        valid = batch["valid"] > 0
+        all_ids.append(np.asarray(subject_ids)[valid])
+        all_risk.append(np.asarray(out["risk"]).reshape(-1)[valid])
+        all_c.append(batch["c"][valid])
+        all_t.append(batch["t"][valid])
+        all_label.append(batch["Y"][valid])
+        if out["S"] is not None:
+            all_S.append(np.asarray(out["S"])[valid])
+    patient_results = {
+        "subject_id": np.concatenate(all_ids) if all_ids else np.zeros(0),
+        "risk": np.concatenate(all_risk) if all_risk else np.zeros(0),
+        "disc_label": np.concatenate(all_label) if all_label else np.zeros(0),
+        "survival": np.concatenate(all_t) if all_t else np.zeros(0),
+        "censorship": np.concatenate(all_c) if all_c else np.zeros(0),
+    }
+    if all_S:
+        patient_results["prob"] = np.concatenate(all_S, axis=0)
+    try:
+        cindex = metrics_mod.concordance_index_censored(
+            (1 - patient_results["censorship"]).astype(bool),
+            patient_results["survival"], patient_results["risk"])[0]
+    except ValueError:
+        cindex = float("nan")
+    return patient_results, cindex
+
+
+def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
+    """Train (or evaluate) one fold; returns the reference's result tuple
+    (ref core_utils.py train :21-171)."""
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    fold_dir = os.path.join(cfg.results_dir, str(cur))
+    os.makedirs(fold_dir, exist_ok=True)
+    log_path = os.path.join(fold_dir, "metrics.jsonl")
+
+    if cfg.split_mode == "train_val_test":
+        train_split, val_split, test_split = datasets
+    else:
+        train_split, val_split = datasets
+        test_split = None
+
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    train_step, eval_step = make_steps(cfg, model, tx)
+
+    # init from one real batch
+    train_idx = usable_indices(train_split)
+    val_idx = usable_indices(val_split)
+    test_idx = usable_indices(test_split) if test_split is not None else None
+    init_batch = next(iter_batches(train_split, batch_size=cfg.batch_size,
+                                   indices=train_idx))
+    init_batch.pop("subject_ids")
+    rng = jax.random.PRNGKey(cfg.seed)
+    rng, init_rng, drop_rng = jax.random.split(rng, 3)
+    variables = model.init({"params": init_rng, "dropout": drop_rng},
+                           deterministic=True,
+                           **model_inputs(cfg, init_batch))
+    variables = dict(variables)
+    opt_state = tx.init(variables["params"])
+
+    ckpt = os.path.join(cfg.results_dir, f"s_{cur}_checkpoint.msgpack")
+    minloss_ckpt = os.path.join(cfg.results_dir,
+                                f"s_{cur}_minloss_checkpoint.msgpack")
+    mid_ckpt = os.path.join(cfg.results_dir,
+                            f"s_{cur}_mid_checkpoint.msgpack")
+
+    if eval_only:
+        variables = load_checkpoint(minloss_ckpt, variables)
+        results_val, val_c = summary_survival(cfg, val_split, variables,
+                                              eval_step, val_idx)
+        if cfg.split_mode == "train_val_test":
+            results_test, test_c = summary_survival(cfg, test_split,
+                                                    variables, eval_step,
+                                                    test_idx)
+            return results_val, val_c, results_test, test_c
+        return results_val, val_c
+
+    stopper = (EarlyStopping(warmup=0, patience=20,
+                             stop_epoch=100 if not cfg.pretrained else 50,
+                             verbose=True)
+               if cfg.early_stopping else None)
+
+    stop = False
+    for epoch in range(cfg.max_epochs):
+        t0 = time.time()
+        variables, opt_state, rng, tr = _run_epoch(
+            cfg, train_split, train_idx, variables, opt_state, train_step,
+            eval_step, rng, True, epoch, seed=cfg.seed * 100003 + epoch)
+        _, _, _, va = _run_epoch(
+            cfg, val_split, val_idx, variables, opt_state, train_step,
+            eval_step, rng, False, epoch, seed=0)
+        rec = {"epoch": epoch, "train_loss": tr["loss"],
+               "train_c_index": tr["c_index"], "val_loss": va["loss"],
+               "val_c_index": va["c_index"], "sec": time.time() - t0}
+        print(f"fold {cur} epoch {epoch}: "
+              f"train_loss {tr['loss']:.4f} c {tr['c_index']:.4f} | "
+              f"val_loss {va['loss']:.4f} c {va['c_index']:.4f} "
+              f"({rec['sec']:.1f}s)")
+        with open(log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if epoch == 10:
+            save_checkpoint(mid_ckpt, variables)  # ref core_utils.py:342
+        if stopper is not None:
+            stopper(epoch, va["loss"], variables, minloss_ckpt)
+            if stopper.early_stop:
+                print("Early stopping")
+                stop = True
+        if stop:
+            break
+
+    save_checkpoint(ckpt, variables)
+    final_results_val, final_val_c = summary_survival(
+        cfg, val_split, variables, eval_step, val_idx)
+    if cfg.early_stopping and os.path.exists(minloss_ckpt):
+        variables = load_checkpoint(minloss_ckpt, variables)
+    else:
+        # no early stopping: minloss == final (keep downstream contracts)
+        save_checkpoint(minloss_ckpt, variables)
+    results_val, val_c = summary_survival(cfg, val_split, variables,
+                                          eval_step, val_idx)
+    print(f"Final Val c-Index: {final_val_c:.4f}")
+    print(f"EarlyStopping Val c-Index: {val_c:.4f}")
+    if cfg.split_mode == "train_val_test":
+        results_test, test_c = summary_survival(cfg, test_split, variables,
+                                                eval_step, test_idx)
+        print(f"EarlyStopping Test c-Index: {test_c:.4f}")
+        return results_val, val_c, results_test, test_c
+    return results_val, val_c

@@ -1,0 +1,142 @@
+"""Data layer: CSV parsing, splits, bag loading, batching."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalfusion_tpu.data.bags import bucket_len, intersect_slices, \
+    pad_bags
+from multimodalfusion_tpu.data.loaders import iter_batches, usable_indices
+from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
+
+from fixtures import make_cohort_csv, make_feature_store, \
+    make_pretrained_store, make_splits
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cohort"))
+    csv_path, df, latent = make_cohort_csv(root, n=30)
+    make_feature_store(root, df, latent, bag_range=(5, 20))
+    make_pretrained_store(root, df, latent)
+    make_splits(os.path.join(root, "splits"), df, k=2)
+    return root, csv_path, df
+
+
+def test_bucket_len():
+    assert bucket_len(1) == 128
+    assert bucket_len(128) == 128
+    assert bucket_len(129) == 256
+    assert bucket_len(70000) == 131072
+
+
+def test_pad_bags():
+    bags = [np.ones((5, 4)), None, np.ones((200, 4))]
+    out, mask = pad_bags(bags, 4)
+    assert out.shape == (3, 256, 4)
+    assert mask.sum() == 205
+    assert mask[1].sum() == 0
+
+
+def test_intersect_slices():
+    f1 = np.arange(12).reshape(4, 3).astype(float)
+    f2 = np.arange(9).reshape(3, 3).astype(float) + 100
+    out = intersect_slices([f1, f2],
+                           [np.array([0, 1, 2, 3]), np.array([1, 2, 3])])
+    assert out.shape == (3, 6)
+    np.testing.assert_array_equal(out[:, :3], f1[1:])
+
+
+def test_dataset_binning_and_dicts(store):
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="omic", data_dir=root, n_bins=4)
+    assert ds.n_bins == 4
+    assert ds.num_classes == 8  # (bin, censorship) pairs
+    assert len(ds.bins) == 5
+    assert len(ds.slides_dict) == len(df)
+
+
+def test_split_loading_and_scaler(store):
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="omic", data_dir=root, n_bins=4)
+    train, val = ds.load_splits(os.path.join(root, "splits", "splits_0.csv"))
+    assert len(train) + len(val) == len(df)
+    # train genomics are z-scored with the train-fit scaler
+    assert abs(train.genomic_features.mean()) < 1e-8
+    # val uses the SAME scaler (not its own)
+    assert abs(val.genomic_features.mean()) > 1e-8 or len(val) == 0
+
+
+def test_raw_sample_loading(store):
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="radio_path_omic", data_dir=root,
+                         n_bins=4)
+    split = ds.whole_split()
+    s = split.get_sample(0)
+    assert s.radio is not None and s.radio.shape[1] == 4 * 1024
+    assert s.path is not None and s.path.shape[1] == 1024
+    assert s.omic is not None and s.omic.shape == (12,)
+    assert s.present == {"radio": True, "path": True, "omic": True}
+
+
+def test_pretrained_sample_loading(store):
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="radio_path_omic", data_dir=root,
+                         n_bins=4, pretrained=True)
+    split = ds.whole_split()
+    s = split.get_sample(3)
+    assert s.h_radio.shape == (256,)
+    # omic embedding min-max normalized into [0, 1] (ref :416)
+    assert 0.0 <= s.h_omic.min() and s.h_omic.max() <= 1.0
+
+
+def test_iter_batches_shapes(store):
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="radio_path_omic", data_dir=root,
+                         n_bins=4)
+    split = ds.whole_split()
+    batches = list(iter_batches(split, batch_size=8))
+    assert sum(int(b["valid"].sum()) for b in batches) == len(df)
+    b = batches[0]
+    assert b["radio_bags"].shape[0] == 8
+    assert b["radio_bags"].shape[2] == 4096
+    assert b["path_bags"].shape[2] == 1024
+    assert b["genomic"].shape == (8, 12)
+    assert set(np.unique(b["radio_mask"])) <= {0.0, 1.0}
+
+
+def test_missing_modality_filtering(store, tmp_path):
+    root, csv_path, df = store
+    # remove one subject's path bag
+    victim = df["subject_id"].iloc[5]
+    os.rename(os.path.join(root, "path_pt_files", f"{victim}-SLIDE.pt"),
+              os.path.join(root, "path_pt_files", f"{victim}-SLIDE.pt.bak"))
+    try:
+        ds = SurvivalDataset(csv_path, mode="path", data_dir=root, n_bins=4)
+        split = ds.whole_split()
+        idx = usable_indices(split)
+        assert len(idx) == len(df) - 1
+    finally:
+        os.rename(os.path.join(root, "path_pt_files", f"{victim}-SLIDE.pt.bak"),
+                  os.path.join(root, "path_pt_files", f"{victim}-SLIDE.pt"))
+
+
+def test_do_split_writes_csvs(store, tmp_path):
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="omic", data_dir=root, n_bins=2)
+    out = ds.do_split("threemod", str(tmp_path / "sp"), k=2)
+    assert len(out) == 2
+    f = pd.read_csv(tmp_path / "sp" / "splits_0.csv")
+    assert {"train", "val"} <= set(f.columns)
+    # no overlap between train and val
+    assert not set(f["train"].dropna()) & set(f["val"].dropna())
+
+
+def test_weighted_sampling_balances(store):
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="omic", data_dir=root, n_bins=4)
+    split = ds.whole_split()
+    w = split.class_weights()
+    assert w.shape == (len(df),)
+    assert np.all(w > 0)

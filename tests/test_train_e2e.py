@@ -1,0 +1,124 @@
+"""End-to-end k-fold training through the stage-2 CLI on synthetic
+cohorts: checks artifacts (summary.csv, checkpoints, experiment txt,
+results pkl) and that models actually learn (c-index well above chance
+on strongly-signalled synthetic data)."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fixtures import make_cohort_csv, make_feature_store, make_splits
+
+from multimodalfusion_tpu.cli.main import main as cli_main
+from multimodalfusion_tpu.data.io import load_pkl
+
+
+@pytest.fixture(scope="module")
+def cohort(tmp_path_factory):
+    base = tmp_path_factory.mktemp("e2e")
+    data_root = base / "features" / "brain"
+    csv_root = base / "dataset_csv" / "brain"
+    csv_path, df, latent = make_cohort_csv(str(csv_root), n=60, seed=3)
+    make_feature_store(str(data_root), df, latent, seed=3,
+                       bag_range=(6, 30))
+    make_splits(str(base / "splits" / "brain" / "2foldcv"), df, k=2,
+                val_frac=0.3, seed=3)
+    return base
+
+
+def _run(base, extra, results_sub="results"):
+    argv = [
+        "--cancer_type", "brain",
+        "--which_splits", "2foldcv",
+        "--k", "2",
+        "--max_epochs", "3",
+        "--n_classes", "4",
+        "--data_root_dir", str(base / "features"),
+        "--dataset_root", str(base / "dataset_csv"),
+        "--splits_root", str(base / "splits"),
+        "--results_dir", str(base / results_sub),
+        "--overwrite",
+    ] + extra
+    rc = cli_main(argv)
+    assert rc == 0
+    return base / results_sub / "brain" / "2foldcv"
+
+
+def test_maxnet_cox_end_to_end(cohort):
+    out_root = _run(cohort, ["--model_type", "max_net", "--mode", "omic",
+                             "--bag_loss", "cox_surv", "--batch_size", "16",
+                             "--max_epochs", "8", "--lr", "1e-3"])
+    exp_dirs = list(out_root.iterdir())
+    assert len(exp_dirs) == 1
+    exp = exp_dirs[0]
+    assert exp.name.startswith("OMICS_a0.0")
+    summary = pd.read_csv(exp / "summary.csv")
+    assert len(summary) == 2
+    # strong synthetic signal -> clearly above chance
+    assert summary["val_cindex"].mean() > 0.70, summary
+    for i in range(2):
+        assert (exp / f"s_{i}_checkpoint.msgpack").exists()
+        assert (exp / f"s_{i}_minloss_checkpoint.msgpack").exists()
+        res = load_pkl(str(exp / f"split_train_val_{i}_results.pkl"))
+        assert {"subject_id", "risk", "survival",
+                "censorship"} <= set(res.keys())
+    assert any(p.name.startswith("experiment_") for p in exp.iterdir())
+
+
+def test_maxnet_nll_end_to_end(cohort):
+    out_root = _run(cohort, ["--model_type", "max_net", "--mode", "omic",
+                             "--bag_loss", "nll_surv", "--batch_size", "16",
+                             "--max_epochs", "8", "--lr", "1e-3",
+                             "--test", "nll"], results_sub="results_nll")
+    exp = next(out_root.iterdir())
+    summary = pd.read_csv(exp / "summary.csv")
+    assert summary["val_cindex"].mean() > 0.65, summary
+
+
+def test_path_amil_end_to_end(cohort):
+    out_root = _run(cohort, ["--model_type", "path_attention_mil",
+                             "--mode", "path", "--bag_loss", "nll_surv",
+                             "--batch_size", "4", "--max_epochs", "4",
+                             "--lr", "1e-3", "--gate_path"],
+                    results_sub="results_path")
+    exp = next(out_root.iterdir())
+    summary = pd.read_csv(exp / "summary.csv")
+    assert summary["val_cindex"].mean() > 0.65, summary
+
+
+def test_radio_amil_end_to_end(cohort):
+    out_root = _run(cohort, ["--model_type", "radio_attention_mil",
+                             "--mode", "radio", "--bag_loss", "cox_surv",
+                             "--radio_fusion", "concat",
+                             "--batch_size", "4", "--max_epochs", "3",
+                             "--lr", "1e-3"], results_sub="results_radio")
+    exp = next(out_root.iterdir())
+    summary = pd.read_csv(exp / "summary.csv")
+    assert summary["val_cindex"].mean() > 0.6, summary
+
+
+def test_mm_attention_end_to_end(cohort):
+    out_root = _run(cohort, ["--model_type", "mm_attention_mil",
+                             "--mode", "radio_path_omic",
+                             "--bag_loss", "nll_surv", "--fusion", "concat",
+                             "--radio_fusion", "concat",
+                             "--batch_size", "4", "--max_epochs", "3",
+                             "--lr", "1e-3"], results_sub="results_mm")
+    exp = next(out_root.iterdir())
+    summary = pd.read_csv(exp / "summary.csv")
+    assert np.isfinite(summary["val_cindex"]).all()
+    assert summary["val_cindex"].mean() > 0.6, summary
+
+
+def test_refuses_overwrite(cohort):
+    argv = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+            "--k", "2", "--max_epochs", "1", "--model_type", "max_net",
+            "--mode", "omic", "--bag_loss", "cox_surv",
+            "--batch_size", "16",
+            "--data_root_dir", str(cohort / "features"),
+            "--dataset_root", str(cohort / "dataset_csv"),
+            "--splits_root", str(cohort / "splits"),
+            "--results_dir", str(cohort / "results_ow")]
+    assert cli_main(argv + ["--overwrite"]) == 0  # first run succeeds
+    assert cli_main(argv) == 1                    # rerun refuses
