@@ -1,0 +1,67 @@
+"""Device-mesh helpers for data-parallel training and extraction.
+
+The reference's only multi-device use is ``nn.DataParallel`` on the
+ResNet50 extractor (ref feature_extraction.py:99-100); here data
+parallelism is a first-class ``jax.sharding.Mesh`` + NamedSharding
+annotation on the batch axis — XLA inserts the gradient all-reduce over
+ICI.  Bags within a batch stay on one chip (bag-level parallelism is the
+batch axis; cross-chip bag sharding via psum-combined partial softmax is
+the planned extension for ~100k-instance bags).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int,
+                   axis: str = DATA_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = DATA_AXIS) -> dict:
+    """Device-put every array in a loader batch with its leading (batch)
+    dimension sharded over the mesh."""
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.dtype != object:
+            out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim, axis))
+        else:
+            out[k] = v
+    return out
+
+
+def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
+    """Pad the batch axis to a multiple of the mesh size (padded rows have
+    valid=0 so losses/metrics ignore them)."""
+    some = next(v for v in batch.values()
+                if hasattr(v, "ndim") and v.ndim >= 1 and v.dtype != object)
+    B = some.shape[0]
+    rem = (-B) % n_devices
+    if rem == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim >= 1 and v.dtype != object \
+                and v.shape[0] == B:
+            pad = [(0, rem)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad)
+        else:
+            out[k] = v
+    return out
