@@ -1,0 +1,97 @@
+"""Stage-4 evaluation CLI (c-index + integrated Brier score) — rewrite of
+ref eval_pretrained.py.  Args are hydrated from the experiment settings
+txt written by main_pretrained (ref :104-121), parsed safely with
+ast.literal_eval instead of eval()."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+from multimodalfusion_tpu.data.io import save_pkl
+from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
+from multimodalfusion_tpu.engine.evaluate import eval_model
+from multimodalfusion_tpu.engine.train import TrainConfig
+from multimodalfusion_tpu.utils.experiment import read_settings
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Evaluate pretrained-head folds")
+    p.add_argument("--model_path", type=str, required=True,
+                   help="results dir containing experiment_*.txt and "
+                        "s_{k}_minloss_checkpoint.msgpack")
+    p.add_argument("--results_dir", type=str, default=None,
+                   help="where eval outputs go (default: model_path)")
+    p.add_argument("--k_start", type=int, default=-1)
+    p.add_argument("--k_end", type=int, default=-1)
+    p.add_argument("--batch_size", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    exp_code = os.path.basename(os.path.normpath(args.model_path))
+    settings_path = os.path.join(args.model_path,
+                                 f"experiment_{exp_code}.txt")
+    settings = read_settings(settings_path)
+    out_dir = args.results_dir or args.model_path
+    os.makedirs(out_dir, exist_ok=True)
+
+    dataset = SurvivalDataset(
+        csv_path=settings["csv_path"], mode=settings["mode"],
+        modalities=settings["radio_modality"],
+        data_dir=settings["data_root_dir"],
+        n_bins=settings["n_classes"], label_col="survival_months",
+        seed=settings["seed"], pretrained=True, print_info=True)
+
+    split_mode = settings.get("split_mode", "train_val")
+    k = settings["num_splits"]
+    start = 0 if args.k_start == -1 else args.k_start
+    end = k if args.k_end == -1 else args.k_end
+    folds = list(range(start, end))
+    rows = []
+    for i in folds:
+        split_csv = os.path.join(settings["split_dir"], f"splits_{i}.csv")
+        keys = (("train", "val", "test") if split_mode == "train_val_test"
+                else ("train", "val"))
+        splits = dataset.load_splits(split_csv, keys=keys)
+        cfg = TrainConfig(
+            model_type=settings["model_type"], mode=settings["mode"],
+            modalities=tuple(settings["radio_modality"]),
+            n_classes=settings["n_classes"], bag_loss=settings["bag_loss"],
+            alpha_surv=settings.get("alpha_surv", 0.0),
+            nll_ratio=settings.get("nll_ratio", 0.2),
+            batch_size=args.batch_size or settings.get("batch_size", 1),
+            seed=settings["seed"], results_dir=args.model_path,
+            split_mode=split_mode, train_type=settings.get("train_type"),
+            n_layers=settings.get("n_layers", 1), pretrained=True)
+        out = eval_model(splits, i, cfg, dataset.bins,
+                         model_path=args.model_path)
+        if split_mode == "train_val_test":
+            (res_val, val_c, val_ibs, res_test, test_c, test_ibs) = out
+            rows.append({"folds": i, "val_cindex": val_c,
+                         "val_ibs": val_ibs, "test_cindex": test_c,
+                         "test_ibs": test_ibs})
+            save_pkl(os.path.join(out_dir,
+                                  f"eval_test_{i}_results.pkl"), res_test)
+        else:
+            res_val, val_c, val_ibs = out
+            rows.append({"folds": i, "val_cindex": val_c,
+                         "val_ibs": val_ibs})
+        save_pkl(os.path.join(out_dir, f"eval_val_{i}_results.pkl"), res_val)
+        print(f"fold {i}: " + ", ".join(
+            f"{k2}={v:.4f}" if isinstance(v, float) else f"{k2}={v}"
+            for k2, v in rows[-1].items()))
+
+    df = pd.DataFrame(rows)
+    df.to_csv(os.path.join(out_dir, "eval_summary.csv"), index=False)
+    print("mean:", {c: float(np.nanmean(df[c])) for c in df.columns
+                    if c != "folds"})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,7 +57,7 @@ def save_pt(path: str, array: np.ndarray) -> None:
     """Write a torch-format tensor file (interop with reference
     artifacts)."""
     import torch
-    torch.save(torch.from_numpy(np.ascontiguousarray(array)), path)
+    torch.save(torch.from_numpy(np.array(array, copy=True)), path)
 
 
 def load_pt(path: str) -> np.ndarray:
