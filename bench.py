@@ -1,17 +1,19 @@
 """Round benchmark — prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Current headline: attention-MIL survival training throughput (bags/sec)
-on one chip, batched+fused (this framework) vs the reference
-architecture's batch_size=1 unfused loop (ref utils/utils.py:39-46,
-README.md:95) executed on the SAME hardware — i.e. the measured speedup
-is architectural (batched masked bags + fused Pallas pooling + jit),
-not a hardware delta.  Bag shape models TCGA WSI bags (4096 patches,
-1024-d ResNet features; SURVEY.md §6).
+Headline: ResNet50 WSI patch-embedding throughput (patches/s/chip),
+the driver-set north-star target of >= 5,000 patches/s/chip on v5e
+(BASELINE.md; ref extractor: feature_extraction.py:25-62 /
+resnet_custom.py:57-119).  vs_baseline = value / 5000.
+
+A secondary AMIL-training metric (bags/s, batched+fused vs the
+reference's batch_size=1 unfused architecture on the same chip) is
+printed to stderr for the record.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -50,17 +52,26 @@ def _setup():
             opt_state, jbatch, B, N, D)
 
 
+def _sync(jax, tree):
+    """True device sync: through the axon tunnel block_until_ready is a
+    no-op, so force a host readback of one leaf."""
+    import numpy as _np
+    leaf = jax.tree.leaves(tree)[0]
+    _np.asarray(leaf).ravel()[:1]
+    return tree
+
+
 def bench_batched(setup, iters=30):
     (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
      jbatch, B, N, D) = setup
     key = jax.random.PRNGKey(1)
     # warmup/compile
     v, o, _ = train_step(variables, opt_state, jbatch, key)
-    jax.block_until_ready(v)
+    _sync(jax, v)
     t0 = time.perf_counter()
     for i in range(iters):
         v, o, out = train_step(v, o, jbatch, jax.random.fold_in(key, i))
-    jax.block_until_ready(v)
+    _sync(jax, v)  # sequential chain: syncing the last step syncs all
     dt = time.perf_counter() - t0
     return B * iters / dt
 
@@ -92,27 +103,69 @@ def bench_reference_style(setup, iters=8):
                                       deterministic=True))
         opt_state1 = tx1.init(variables1["params"])
         v, o, _ = train_step1(variables1, opt_state1, b1, key)
-        jax.block_until_ready(v)
+        _sync(jax, v)
         t0 = time.perf_counter()
         for i in range(iters):
             v, o, out = train_step1(v, o, b1, jax.random.fold_in(key, i))
-        jax.block_until_ready(v)
+        _sync(jax, v)
         dt = time.perf_counter() - t0
     finally:
         mil._use_pallas = orig
     return iters / dt
 
 
+def bench_resnet_extraction(batch_size=256, iters=40, dtype=None):
+    """ResNet50-trunc 224x224 patch embedding, bf16 conv stack,
+    preprocess fused into the jit step.
+
+    Input is device-resident and the pipeline is synced by a host
+    readback at the end: through this environment's zero-egress relay,
+    host->device transfers run at ~12 MB/s and block_until_ready is a
+    no-op — both tunnel artifacts a real v5e host (PCIe) doesn't have,
+    so the compute pipeline is what's measured.
+    """
+    import jax
+    import jax.numpy as jnp
+    from multimodalfusion_tpu.extract.features import Embedder
+    emb = Embedder(batch_size=batch_size,
+                   dtype=dtype or jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(batch_size, 224, 224, 3),
+                        dtype=np.uint8)
+    jimgs = jnp.asarray(imgs)
+    out = emb._embed(emb.variables, jimgs)
+    float(jnp.sum(out))  # real sync (incl. compile)
+    t0 = time.perf_counter()
+    outs = None
+    for _ in range(iters):
+        outs = emb._embed(emb.variables, jimgs)
+    float(jnp.sum(outs))  # same-stream execution: final readback syncs all
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
 def main():
-    setup = _setup()
-    batched = bench_batched(setup)
-    ref_style = bench_reference_style(setup)
+    patches_per_sec = bench_resnet_extraction()
     result = {
-        "metric": "amil_train_bags_per_sec",
-        "value": round(batched, 2),
-        "unit": "bags/s/chip (4096x1024 WSI bags, nll_surv, fwd+bwd+opt)",
-        "vs_baseline": round(batched / ref_style, 2),
+        "metric": "resnet50_patch_embed_throughput",
+        "value": round(patches_per_sec, 1),
+        "unit": "patches/s/chip (224x224 uint8 -> 1024-d, bf16 convs)",
+        "vs_baseline": round(patches_per_sec / 5000.0, 3),
     }
+    # secondary metric for the record (stderr keeps stdout single-line)
+    try:
+        setup = _setup()
+        batched = bench_batched(setup)
+        ref_style = bench_reference_style(setup)
+        print(json.dumps({
+            "metric": "amil_train_bags_per_sec",
+            "value": round(batched, 2),
+            "unit": "bags/s/chip (4096x1024 WSI bags, nll_surv, "
+                    "fwd+bwd+opt)",
+            "vs_baseline": round(batched / ref_style, 2),
+        }), file=sys.stderr)
+    except Exception as e:
+        print(f"secondary bench failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -1,0 +1,121 @@
+"""Radiology feature-extraction CLI — rewrite of ref
+feature_extraction.py: per subject x modality, preprocess the scan,
+embed every axial slice with the truncated ResNet50 on TPU, and write
+``radio_h5_files/{modality}/{subject}.h5`` ({features, slice_index}) plus
+a ``.pt`` copy — the exact artifact schema stage-2 training reads
+(ref feature_extraction.py:57-61, 149-156).
+
+Glioma: NIfTI MRI sequences (FLAIR/T1/T1Gd/T2), native reader.
+Lung: DICOM CT series (requires pydicom; gated) with lung segmentation;
+failures are accumulated into not_processed.pkl (ref :175-214).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+from multimodalfusion_tpu.data.io import ensure_dir, save_hdf5, save_pkl, \
+    save_pt
+from multimodalfusion_tpu.data.radiology import (preprocess_glioma_scan,
+                                                 preprocess_lung_scan)
+from multimodalfusion_tpu.extract.features import Embedder
+
+GLIOMA_MODALITIES = ["FLAIR", "T1", "T1Gd", "T2"]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Feature Extraction")
+    p.add_argument("--radio_dir", type=str, required=True)
+    p.add_argument("--csv_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--planes", type=str, default="axial")
+    p.add_argument("--cancer_type", type=str, default="glioma",
+                   choices=["glioma", "lung"])
+    p.add_argument("--segment", action="store_true", default=False)
+    p.add_argument("--weights", type=str, default=None,
+                   help="torch-format ResNet50 state_dict for ImageNet "
+                        "parity (random init if omitted)")
+    return p
+
+
+def _write_outputs(h5_path: str, pt_path: str, features: np.ndarray,
+                   slice_index: np.ndarray):
+    save_hdf5(h5_path, {"features": features.astype(np.float32),
+                        "slice_index": slice_index.astype(np.int64)},
+              mode="w")
+    save_pt(pt_path, features.astype(np.float32))
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    df = pd.read_csv(args.csv_path)
+    embedder = Embedder(weights_path=args.weights,
+                        batch_size=args.batch_size)
+    out_root = ensure_dir(os.path.join(args.output_dir, args.cancer_type))
+    not_processed = []
+
+    if args.cancer_type == "glioma":
+        subj_mods = (df[["subject_id"] + GLIOMA_MODALITIES].dropna()
+                     .set_index("subject_id").T.to_dict())
+        for m in GLIOMA_MODALITIES:
+            ensure_dir(os.path.join(out_root, "radio_h5_files", m))
+            ensure_dir(os.path.join(out_root, "radio_pt_files", m))
+        for subject, mods in subj_mods.items():
+            for modality, fname in mods.items():
+                if pd.isna(fname):
+                    continue
+                h5_path = os.path.join(out_root, "radio_h5_files", modality,
+                                       f"{subject}.h5")
+                pt_path = os.path.join(out_root, "radio_pt_files", modality,
+                                       f"{subject}.pt")
+                if os.path.exists(h5_path):  # idempotent (ref :184-186)
+                    continue
+                t0 = time.time()
+                try:
+                    slices, slice_ids = preprocess_glioma_scan(
+                        os.path.join(args.radio_dir, str(fname)))
+                    feats = embedder.embed_slices(slices)
+                    _write_outputs(h5_path, pt_path, feats, slice_ids)
+                    print(f"{subject}/{modality}: {feats.shape[0]} slices "
+                          f"in {time.time() - t0:.1f}s")
+                except Exception as e:  # per-scan fault isolation
+                    print(f"FAILED {subject}/{modality}: {e}")
+                    not_processed.append((subject, modality, str(e)))
+    else:  # lung CT
+        ensure_dir(os.path.join(out_root, "radio_h5_files", "CT"))
+        ensure_dir(os.path.join(out_root, "radio_pt_files", "CT"))
+        for subject, scan_dir in (df[["subject_id", "CT"]].dropna()
+                                  .itertuples(index=False)):
+            h5_path = os.path.join(out_root, "radio_h5_files", "CT",
+                                   f"{subject}.h5")
+            pt_path = os.path.join(out_root, "radio_pt_files", "CT",
+                                   f"{subject}.pt")
+            if os.path.exists(h5_path):
+                continue
+            t0 = time.time()
+            try:
+                slices, slice_ids = preprocess_lung_scan(
+                    os.path.join(args.radio_dir, str(scan_dir)),
+                    segment_each_slice=args.segment)
+                feats = embedder.embed_slices(slices)
+                _write_outputs(h5_path, pt_path, feats, slice_ids)
+                print(f"{subject}: {feats.shape[0]} slices in "
+                      f"{time.time() - t0:.1f}s")
+            except Exception as e:
+                print(f"FAILED {subject}: {e}")
+                not_processed.append((subject, str(e)))
+
+    if not_processed:
+        save_pkl(os.path.join(out_root, "not_processed.pkl"), not_processed)
+        print(f"{len(not_processed)} scans failed -> not_processed.pkl")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,77 @@
+"""Per-scan radiology preprocessing pipelines — rewrite of ref
+datasets/dataset_raw.py (PreprocessDataset) as pure functions producing
+slice stacks ready for the TPU embedder."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from multimodalfusion_tpu.data import ct_preprocess as ct
+from multimodalfusion_tpu.data.nifti import read_nifti
+
+GLIOMA_STANDARD_ORIGIN = (0.0, -239.0, 0.0)
+
+
+def preprocess_glioma_scan(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """NIfTI MRI -> (slices [N, H, W] in [0, 1], slice ids).
+
+    Mirrors ref dataset_raw.py:31-49: flip axes whose origin component
+    differs from the standard (0, -239, 0), drop all-black axial slices,
+    min-max normalize over the kept stack, crop to the nonzero bounding
+    box.
+    """
+    img = read_nifti(path)
+    arr = img.data
+    flip = [img.origin_lps[i] != GLIOMA_STANDARD_ORIGIN[i] for i in range(3)]
+    # origin axis order is (x, y, z) -> array axes (2, 1, 0)
+    for axis_xyz, do_flip in enumerate(flip):
+        if do_flip:
+            arr = np.flip(arr, axis=2 - axis_xyz)
+    slice_ids = np.array([i for i in range(arr.shape[0])
+                          if np.count_nonzero(arr[i]) > 0], dtype=np.int64)
+    selected = arr[slice_ids]
+    if selected.size == 0:
+        return np.zeros((0, 1, 1), np.float32), slice_ids
+    final = ct.normalize(selected, selected.min(), selected.max())
+    final = ct.crop_image(final)
+    return final.astype(np.float32), slice_ids
+
+
+def preprocess_lung_scan(path: str, segment_each_slice: bool = False
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """DICOM series dir -> (slices [N, H, W] in [0, 1], slice ids).
+
+    Mirrors ref dataset_raw.py:51-93: HU conversion, orientation fix-ups,
+    resample to [1, 1.5, 1.5] mm, lung segmentation + bounding-box crop,
+    window-normalize (-1000, 400), drop black slices.
+    """
+    slices = ct.load_scan(path)
+    if slices is None:
+        return np.zeros((0, 1, 1), np.float32), np.zeros(0, np.int64)
+    img_hu = ct.get_pixels_hu(slices)
+    img_hu = ct.apply_orientation_fixes(
+        img_hu, [s.ImageOrientationPatient for s in slices])
+    img_hu[img_hu < -1000] = -1000
+    spacing = (float(slices[0].SliceThickness),
+               float(slices[0].PixelSpacing[0]),
+               float(slices[0].PixelSpacing[1]))
+    resampled, _ = ct.resample(img_hu, spacing, (1.0, 1.5, 1.5))
+    segmentation = ct.lung_mask(resampled)
+    if segment_each_slice:
+        segmented = np.array([ct.lung_box(resampled[i], segmentation[i])[0]
+                              for i in range(len(resampled))])
+    else:
+        segmented = ct.largest_lung_box(resampled, segmentation)
+    cropped = ct.crop_image(np.asarray(segmented))
+    normalized = ct.normalize(cropped, -1000, 400)
+    slice_ids = np.array([i for i in range(normalized.shape[0])
+                          if np.count_nonzero(normalized[i]) > 0],
+                         dtype=np.int64)
+    return normalized[slice_ids].astype(np.float32), slice_ids
+
+
+def slices_to_rgb(slices: np.ndarray) -> np.ndarray:
+    """[N, H, W] grayscale -> [N, H, W, 3] (ref dataset_raw.py:103-116
+    repeats the channel)."""
+    return np.repeat(slices[..., None], 3, axis=-1)

@@ -1,0 +1,136 @@
+"""NIfTI IO, CT preprocessing, embedder, and the radiology extraction
+CLI end-to-end on synthetic NIfTI volumes."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalfusion_tpu.data import ct_preprocess as ct
+from multimodalfusion_tpu.data.io import load_features_h5, load_pt
+from multimodalfusion_tpu.data.nifti import read_nifti, write_nifti
+from multimodalfusion_tpu.data.radiology import (preprocess_glioma_scan,
+                                                 slices_to_rgb)
+from multimodalfusion_tpu.extract.features import Embedder, _fit_spatial
+
+
+def test_nifti_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(5, 12, 9)).astype(np.float32)
+    p = str(tmp_path / "x.nii")
+    write_nifti(p, vol, pixdim=(1.0, 2.0, 3.0), origin_lps=(0.0, -239.0, 0.0))
+    img = read_nifti(p)
+    np.testing.assert_allclose(img.data, vol)
+    assert img.pixdim == (1.0, 2.0, 3.0)
+    np.testing.assert_allclose(img.origin_lps, (0.0, -239.0, 0.0))
+
+
+def test_nifti_gzip_and_int16(tmp_path):
+    vol = (np.arange(2 * 3 * 4).reshape(2, 3, 4) * 7 % 100).astype(np.int16)
+    p = str(tmp_path / "x.nii.gz")
+    write_nifti(p, vol)
+    img = read_nifti(p)
+    np.testing.assert_array_equal(img.data, vol)
+    assert img.data.dtype == np.int16
+
+
+def test_normalize_and_crop():
+    img = np.zeros((3, 10, 10), np.float32)
+    img[:, 2:5, 3:8] = 500.0
+    out = ct.crop_image(img)
+    assert out.shape == (3, 3, 5)
+    n = ct.normalize(np.array([[-2000.0, -1000.0, 400.0, 1000.0]]),
+                     -1000, 400)
+    np.testing.assert_allclose(n, [[0.0, 0.0, 1.0, 1.0]])
+
+
+def test_resample_shapes():
+    vol = np.zeros((10, 20, 20), np.float32)
+    out, new_spacing = ct.resample(vol, (2.0, 1.0, 1.0), (1.0, 1.5, 1.5))
+    assert out.shape == (20, 13, 13)
+    out2, _ = ct.resample_xla(vol, (2.0, 1.0, 1.0), (1.0, 1.5, 1.5))
+    assert tuple(out2.shape) == out.shape
+
+
+def test_segment_lung_mask_synthetic():
+    """A body of tissue with two air cavities -> cavities segmented."""
+    vol = np.full((6, 40, 40), 100, np.int16)        # tissue
+    vol[:, :3, :] = -1000                            # outside air
+    vol[:, 10:20, 8:18] = -900                       # lung 1
+    vol[:, 10:20, 22:32] = -900                      # lung 2 (connected in z)
+    mask = ct.segment_lung_mask(vol, fill_lung_structures=False)
+    assert mask[:, 12, 12].any() or mask[:, 12, 26].any()
+    assert mask[:, 1, 1].sum() == 0  # outside air excluded
+
+
+def test_glioma_preprocess(tmp_path):
+    rng = np.random.default_rng(1)
+    vol = np.zeros((8, 32, 32), np.float32)
+    vol[2:7, 8:24, 8:24] = rng.uniform(10, 100, size=(5, 16, 16))
+    p = str(tmp_path / "scan.nii.gz")
+    write_nifti(p, vol, origin_lps=(0.0, -239.0, 0.0))
+    slices, ids = preprocess_glioma_scan(p)
+    assert list(ids) == [2, 3, 4, 5, 6]  # black slices dropped
+    assert slices.min() >= 0.0 and slices.max() <= 1.0
+    assert slices.shape[1] <= 16 and slices.shape[2] <= 16  # cropped
+
+
+def test_glioma_preprocess_flips_origin(tmp_path):
+    vol = np.zeros((4, 8, 8), np.float32)
+    vol[1, 0, 0] = 5.0  # marker at a corner
+    p = str(tmp_path / "scan.nii")
+    write_nifti(p, vol, origin_lps=(10.0, -239.0, 0.0))  # x mismatched
+    slices, ids = preprocess_glioma_scan(p)
+    # x axis flipped: marker moves to the right edge before cropping;
+    # cropping then reduces to the single nonzero voxel either way
+    assert slices.shape[0] == 1
+
+
+def test_fit_spatial_pad_and_crop():
+    imgs = np.ones((2, 100, 300, 3), np.float32)
+    out = _fit_spatial(imgs, 224)
+    assert out.shape == (2, 224, 224, 3)
+    assert out[:, :61].sum() == 0 and out[:, -61:].sum() == 0  # pad rows
+    assert out[0, 112, 112, 0] == 1.0
+
+
+def test_embedder_shapes_and_padding(rng):
+    emb = Embedder(batch_size=8, image_size=64)
+    imgs = rng.normal(size=(11, 64, 64, 3)).astype(np.float32)
+    out = emb.embed_images(imgs)
+    assert out.shape == (11, 1024)
+    # padded tail must not affect the first chunk's outputs
+    out2 = emb.embed_images(imgs[:8])
+    np.testing.assert_allclose(out[:8], out2, rtol=1e-4, atol=1e-5)
+
+
+def test_feature_extraction_cli(tmp_path):
+    from multimodalfusion_tpu.cli.feature_extraction import main as fx_main
+    rng = np.random.default_rng(2)
+    radio_dir = tmp_path / "scans"
+    os.makedirs(radio_dir)
+    rows = []
+    for s in ("S1", "S2"):
+        row = {"subject_id": s}
+        for m in ("FLAIR", "T1", "T1Gd", "T2"):
+            vol = np.zeros((6, 40, 40), np.float32)
+            vol[1:5, 5:35, 5:35] = rng.uniform(1, 80, size=(4, 30, 30))
+            fname = f"{s}_{m}.nii.gz"
+            write_nifti(str(radio_dir / fname), vol,
+                        origin_lps=(0.0, -239.0, 0.0))
+            row[m] = fname
+        rows.append(row)
+    csv_path = tmp_path / "scans.csv"
+    pd.DataFrame(rows).to_csv(csv_path, index=False)
+
+    rc = fx_main(["--radio_dir", str(radio_dir), "--csv_path", str(csv_path),
+                  "--output_dir", str(tmp_path / "out"),
+                  "--cancer_type", "glioma", "--batch_size", "8"])
+    assert rc == 0
+    h5 = tmp_path / "out" / "glioma" / "radio_h5_files" / "T1" / "S1.h5"
+    assert h5.exists()
+    feats, sids = load_features_h5(str(h5))
+    assert feats.shape == (4, 1024) and list(sids) == [1, 2, 3, 4]
+    pt = tmp_path / "out" / "glioma" / "radio_pt_files" / "T1" / "S1.pt"
+    np.testing.assert_allclose(load_pt(str(pt)), feats, rtol=1e-6)
+    assert not (tmp_path / "out" / "glioma" / "not_processed.pkl").exists()
