@@ -1,0 +1,104 @@
+"""WSI patch feature extraction CLI — the in-repo equivalent of CLAM's
+extract_features_fp.py that the reference instructs users to run
+externally (ref README.md:52-54; in-repo support:
+datasets/dataset_h5.py Whole_Slide_Bag_FP:95).
+
+Reads {slide}_patches.h5 coords, streams patches from the slide through
+the TPU ResNet50 embedder, and writes path_pt_files/{slide}.pt bags plus
+h5_files/{slide}.h5 ({features, coords}) — the bag artifacts stage-2
+training consumes.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import h5py
+import numpy as np
+import pandas as pd
+
+from multimodalfusion_tpu.data.io import ensure_dir, save_hdf5, save_pt
+from multimodalfusion_tpu.data import wsi as wsi_mod
+from multimodalfusion_tpu.extract.features import Embedder
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="WSI patch feature extraction")
+    p.add_argument("--data_h5_dir", type=str, required=True,
+                   help="dir containing patches/{slide}_patches.h5")
+    p.add_argument("--data_slide_dir", type=str, required=True)
+    p.add_argument("--csv_path", type=str, default=None,
+                   help="optional process list (slide_id column)")
+    p.add_argument("--feat_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--slide_ext", type=str, default=".svs")
+    p.add_argument("--target_patch_size", type=int, default=224)
+    p.add_argument("--weights", type=str, default=None)
+    return p
+
+
+def extract_slide(slide, coords_h5: str, embedder: Embedder,
+                  target_patch_size: int):
+    with h5py.File(coords_h5, "r") as f:
+        coords = f["coords"][:]
+        patch_level = int(f["coords"].attrs.get("patch_level", 0))
+        patch_size = int(f["coords"].attrs.get("patch_size", 256))
+    feats = np.zeros((len(coords), 1024), np.float32)
+    B = embedder.batch_size
+    for start in range(0, len(coords), B):
+        chunk = coords[start:start + B]
+        patches = wsi_mod.read_patches(slide, chunk, patch_level,
+                                       patch_size)
+        if patch_size != target_patch_size:
+            import cv2
+            patches = np.stack([
+                cv2.resize(p, (target_patch_size, target_patch_size))
+                for p in patches])
+        feats[start:start + len(chunk)] = embedder.embed_images(patches)
+    return feats, coords
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    pt_dir = ensure_dir(os.path.join(args.feat_dir, "path_pt_files"))
+    h5_dir = ensure_dir(os.path.join(args.feat_dir, "h5_files"))
+    embedder = Embedder(weights_path=args.weights,
+                        batch_size=args.batch_size,
+                        image_size=args.target_patch_size)
+
+    patches_dir = os.path.join(args.data_h5_dir, "patches")
+    if args.csv_path:
+        slide_ids = pd.read_csv(args.csv_path)["slide_id"].tolist()
+    else:
+        slide_ids = [n.replace("_patches.h5", args.slide_ext)
+                     for n in sorted(os.listdir(patches_dir))
+                     if n.endswith("_patches.h5")]
+
+    for slide_file in slide_ids:
+        stem = os.path.splitext(os.path.basename(slide_file))[0]
+        coords_h5 = os.path.join(patches_dir, f"{stem}_patches.h5")
+        pt_out = os.path.join(pt_dir, f"{stem}.pt")
+        if os.path.exists(pt_out):
+            print(f"skip {stem} (exists)")
+            continue
+        if not os.path.exists(coords_h5):
+            print(f"no coords for {stem}")
+            continue
+        t0 = time.time()
+        slide = wsi_mod.open_slide(
+            os.path.join(args.data_slide_dir, slide_file))
+        feats, coords = extract_slide(slide, coords_h5, embedder,
+                                      args.target_patch_size)
+        save_pt(pt_out, feats)
+        save_hdf5(os.path.join(h5_dir, f"{stem}.h5"),
+                  {"features": feats, "coords": coords}, mode="w")
+        dt = time.time() - t0
+        print(f"{stem}: {len(coords)} patches in {dt:.1f}s "
+              f"({len(coords) / max(dt, 1e-9):.0f} patches/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

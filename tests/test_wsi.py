@@ -1,0 +1,150 @@
+"""WSI subsystem: synthetic slides, segmentation, patching, filters,
+stitching, and the patching + WSI feature extraction CLIs."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodalfusion_tpu.data import wsi
+
+
+@pytest.fixture(scope="module")
+def slide():
+    return wsi.synthetic_slide(width=2048, height=1536, n_blobs=3, seed=1)
+
+
+def test_array_slide_basics(slide):
+    assert slide.level_count == 3
+    assert slide.level_dimensions[0] == (2048, 1536)
+    ds = slide.level_downsamples
+    assert ds[0] == (1.0, 1.0) and ds[1][0] == pytest.approx(2.0)
+    region = slide.read_region((100, 200), 0, (64, 64))
+    assert region.shape == (64, 64, 3) and region.dtype == np.uint8
+    np.testing.assert_array_equal(region, slide.levels[0][200:264, 100:164])
+
+
+def test_read_region_level1_coords(slide):
+    # level-0 location (512, 256) at level 1 (= pixel 256,128 there)
+    r = slide.read_region((512, 256), 1, (32, 32))
+    np.testing.assert_array_equal(r, slide.levels[1][128:160, 256:288])
+
+
+SEG = dict(a_t=0.5, a_h=0.05)  # synthetic slides are tiny vs real WSIs
+
+
+def test_segment_tissue_finds_blobs(slide):
+    tissue, holes = wsi.segment_tissue(slide, seg_level=2, **SEG)
+    assert len(tissue) >= 1
+    # contours are in level-0 coordinates
+    all_pts = np.concatenate([c.reshape(-1, 2) for c in tissue])
+    assert all_pts[:, 0].max() <= 2048 and all_pts[:, 1].max() <= 1536
+    assert all_pts[:, 0].max() > 512  # not stuck at seg-level scale
+
+
+def test_patch_coords_inside_tissue(slide):
+    tissue, holes = wsi.segment_tissue(slide, seg_level=2, **SEG)
+    coords, _ = wsi.process_contours(slide, tissue, holes, patch_size=256,
+                                     step_size=256)
+    assert len(coords) > 3
+    # every patch center must be non-white tissue for most patches
+    import cv2
+    n_tissue = 0
+    for (x, y) in coords:
+        patch = slide.read_region((int(x), int(y)), 0, (256, 256))
+        if not wsi.is_white_patch(patch, sat_thresh=15):
+            n_tissue += 1
+    assert n_tissue / len(coords) > 0.7
+
+
+def test_contour_checkers():
+    import cv2
+    square = np.array([[[0, 0]], [[100, 0]], [[100, 100]], [[0, 100]]],
+                      np.int32)
+    for mode in ("basic", "center", "four_pt", "four_pt_hard"):
+        check = wsi.make_contour_checker(square, 32, mode)
+        assert check((30, 30))       # fully inside
+        assert not check((500, 500))  # far outside
+
+
+def test_hole_exclusion():
+    outer = np.array([[[0, 0]], [[400, 0]], [[400, 400]], [[0, 400]]],
+                     np.int32)
+    hole = np.array([[[100, 100]], [[300, 100]], [[300, 300]],
+                     [[100, 300]]], np.int32)
+    slide = wsi.synthetic_slide(512, 512, n_blobs=0, seed=0, n_levels=1)
+    coords = wsi.contour_patch_coords(slide, outer, [hole], patch_size=64,
+                                      step_size=64)
+    centers = coords + 32
+    in_hole = [(100 < cx < 300 and 100 < cy < 300) for cx, cy in centers]
+    assert not any(in_hole)
+    assert len(coords) > 0
+
+
+def test_patch_filters():
+    white = np.full((64, 64, 3), 250, np.uint8)
+    black = np.zeros((64, 64, 3), np.uint8)
+    pink = np.zeros((64, 64, 3), np.uint8)
+    pink[..., 0] = 200; pink[..., 2] = 180
+    assert wsi.is_white_patch(white)
+    assert wsi.is_black_patch(black)
+    assert not wsi.is_white_patch(pink)
+    assert not wsi.is_black_patch(pink)
+
+
+def test_stitch(slide):
+    tissue, holes = wsi.segment_tissue(slide, seg_level=2, **SEG)
+    coords, _ = wsi.process_contours(slide, tissue, holes)
+    canvas = wsi.stitch_coords(slide, coords[:20], downscale=16)
+    assert canvas.shape == (1536 // 16, 2048 // 16, 3)
+
+
+def test_pil_slide_roundtrip(tmp_path, slide):
+    from PIL import Image
+    p = str(tmp_path / "slide.tiff")
+    imgs = [Image.fromarray(l) for l in slide.levels]
+    imgs[0].save(p, save_all=True, append_images=imgs[1:])
+    s2 = wsi.PILSlide(p)
+    assert s2.level_count == 3
+    assert s2.level_dimensions == slide.level_dimensions
+    np.testing.assert_array_equal(s2.read_region((100, 200), 0, (32, 32)),
+                                  slide.read_region((100, 200), 0, (32, 32)))
+
+
+def test_patching_and_feature_cli(tmp_path, slide):
+    from PIL import Image
+    from multimodalfusion_tpu.cli.create_patches import main as cp_main
+    from multimodalfusion_tpu.cli.extract_features_fp import main as fx_main
+    from multimodalfusion_tpu.data.io import load_pt
+
+    slides_dir = tmp_path / "slides"
+    os.makedirs(slides_dir)
+    imgs = [Image.fromarray(l) for l in slide.levels]
+    imgs[0].save(str(slides_dir / "CASE1.tiff"), save_all=True,
+                 append_images=imgs[1:])
+
+    save_dir = tmp_path / "patched"
+    rc = cp_main(["--source", str(slides_dir), "--save_dir", str(save_dir),
+                  "--patch_size", "256", "--step_size", "256", "--stitch",
+                  "--a_t", "0.5", "--a_h", "0.05"])
+    assert rc == 0
+    assert (save_dir / "patches" / "CASE1_patches.h5").exists()
+    assert (save_dir / "masks" / "CASE1_mask.jpg").exists()
+    assert (save_dir / "stitches" / "CASE1_stitch.jpg").exists()
+    plist = pd.read_csv(save_dir / "process_list_autogen.csv")
+    assert plist.iloc[0]["status"] == "processed"
+    n = int(plist.iloc[0]["n_patches"])
+    assert n > 3
+
+    feat_dir = tmp_path / "features"
+    rc = fx_main(["--data_h5_dir", str(save_dir),
+                  "--data_slide_dir", str(slides_dir),
+                  "--feat_dir", str(feat_dir), "--batch_size", "16",
+                  "--slide_ext", ".tiff", "--target_patch_size", "128"])
+    assert rc == 0
+    bag = load_pt(str(feat_dir / "path_pt_files" / "CASE1.pt"))
+    assert bag.shape == (n, 1024)
+    import h5py
+    with h5py.File(feat_dir / "h5_files" / "CASE1.h5") as f:
+        assert f["features"].shape == (n, 1024)
+        assert f["coords"].shape == (n, 2)
