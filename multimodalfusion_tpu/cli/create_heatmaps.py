@@ -1,0 +1,262 @@
+"""Interpretability heatmap CLI — rewrite of ref create_heatmaps.py.
+
+Driven by the same YAML config shape (exp/data/patching/model/heatmap/
+sample sections, ref heatmaps/lung/configs/config_path.yaml:3-93,
+parsed create_heatmaps.py:73-87).  Branches:
+
+  * path:  per-slide attention heatmap — patch coords + features through
+    the trained path-AMIL's attention scores, overlap-averaged overlay
+    (interpret/heatmaps.draw_heatmap), plus top-k / bottom-k patch
+    sampling with the reference's dynamic k (0.5% of bag, >= 200,
+    ref :481-556; tests use smaller floors).
+  * radio: per-subject slice attention — top/low decile slice ids +
+    scores.csv (ref :557-659).
+  * omic:  IG per-gene attributions standing in for the reference's
+    SHAP GradientExplainer plots (shap is not in this image),
+    global mean|attr| + per-patient CSVs (ref :153-220).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from types import SimpleNamespace
+
+import cv2
+import h5py
+import numpy as np
+import pandas as pd
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from multimodalfusion_tpu.data.io import ensure_dir, load_features_h5
+from multimodalfusion_tpu.data.loaders import iter_batches, usable_indices
+from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
+from multimodalfusion_tpu.data import wsi as wsi_mod
+from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                               load_checkpoint,
+                                               model_inputs)
+from multimodalfusion_tpu.interpret.heatmaps import (draw_heatmap,
+                                                     dynamic_k,
+                                                     sample_rois)
+from multimodalfusion_tpu.interpret.ig import integrated_gradients
+from multimodalfusion_tpu.utils.experiment import read_settings
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="attention heatmaps")
+    p.add_argument("--config", type=str, required=True, help="YAML config")
+    return p
+
+
+def load_config(path: str) -> SimpleNamespace:
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    ns = SimpleNamespace()
+    for section, vals in raw.items():
+        setattr(ns, section, SimpleNamespace(**(vals or {})))
+    return ns
+
+
+def _load_model(model_args, batch_template, which_k=0):
+    exp_code = os.path.basename(os.path.normpath(model_args.ckpt_path))
+    settings = read_settings(os.path.join(
+        model_args.ckpt_path, f"experiment_{exp_code}.txt"))
+    cfg = TrainConfig(
+        model_type=settings["model_type"], mode=settings["mode"],
+        modalities=tuple(settings["radio_modality"]),
+        n_classes=settings["n_classes"], bag_loss=settings["bag_loss"],
+        model_size_wsi=settings.get("model_size_wsi", "small"),
+        model_size_radio=settings.get("model_size_radio", "small"),
+        model_size_omic=settings.get("model_size_omic", "small"),
+        radio_fusion=settings.get("radio_fusion") or "concat",
+        gate_path=settings.get("gate_path", True),
+        gate_radio=settings.get("gate_radio", True),
+        batch_size=1, seed=settings["seed"])
+    model = build_model(cfg)
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        deterministic=True, **model_inputs(cfg, batch_template)))
+    ckpt = os.path.join(model_args.ckpt_path,
+                        f"s_{which_k}_minloss_checkpoint.msgpack")
+    variables = load_checkpoint(ckpt, variables)
+    return model, variables, cfg, settings
+
+
+def run_path_branch(cfg_ns) -> int:
+    d = cfg_ns.data_arguments
+    m = cfg_ns.model_arguments
+    h = cfg_ns.heatmap_arguments
+    s = getattr(cfg_ns, "sample_arguments", SimpleNamespace())
+    save_dir = ensure_dir(cfg_ns.exp_arguments.save_dir)
+
+    process_df = pd.read_csv(d.process_list)
+    for _, row in process_df.iterrows():
+        slide_file = row["slide_id"]
+        stem = os.path.splitext(slide_file)[0]
+        slide = wsi_mod.open_slide(os.path.join(d.data_dir, slide_file))
+        feat_h5 = os.path.join(d.feat_dir, "h5_files", f"{stem}.h5")
+        with h5py.File(feat_h5, "r") as f:
+            feats = f["features"][:]
+            coords = f["coords"][:]
+        bag = jnp.asarray(feats)[None]
+        mask = jnp.ones((1, bag.shape[1]), jnp.float32)
+        batch_template = {"path_bags": np.asarray(bag),
+                          "path_mask": np.asarray(mask)}
+        model, variables, cfg, settings = _load_model(
+            m, {"path_bags": np.asarray(bag), "path_mask": np.asarray(mask),
+                "Y": np.zeros(1, np.int32), "t": np.zeros(1, np.float32),
+                "c": np.zeros(1, np.float32),
+                "valid": np.ones(1, np.float32)},
+            which_k=getattr(m, "which_k", 0))
+        scores = np.asarray(model.apply(
+            variables, bags=bag, mask=mask, deterministic=True,
+            attention_only=True))[0]
+        patch_size = int(getattr(cfg_ns.patching_arguments, "patch_size",
+                                 256))
+        heat = draw_heatmap(slide, scores, coords, patch_size=patch_size,
+                            alpha=float(getattr(h, "alpha", 0.4)),
+                            blur=bool(getattr(h, "blur", False)),
+                            use_percentiles=True,
+                            cmap=getattr(h, "cmap", "coolwarm"))
+        out = os.path.join(save_dir, f"{stem}_heatmap.jpg")
+        cv2.imwrite(out, cv2.cvtColor(heat, cv2.COLOR_RGB2BGR))
+        print(f"{stem}: heatmap -> {out}")
+
+        # top/bottom patch sampling (ref :481-556)
+        k = dynamic_k(len(scores), floor=int(getattr(s, "floor", 200)))
+        k = min(k, len(scores))
+        for mode_name in ("topk", "reverse_topk"):
+            sc, cc = sample_rois(scores, coords, k=k, mode=mode_name)
+            sample_dir = ensure_dir(os.path.join(save_dir,
+                                                 f"{stem}_{mode_name}"))
+            for rank, (sc_i, (x, y)) in enumerate(
+                    zip(sc[:int(getattr(s, "save_n", 8))],
+                        cc[:int(getattr(s, "save_n", 8))])):
+                patch = slide.read_region((int(x), int(y)), 0,
+                                          (patch_size, patch_size))
+                cv2.imwrite(os.path.join(
+                    sample_dir, f"{rank}_x{x}_y{y}_a{sc_i:.3f}.png"),
+                    cv2.cvtColor(patch, cv2.COLOR_RGB2BGR))
+    return 0
+
+
+def run_radio_branch(cfg_ns) -> int:
+    d = cfg_ns.data_arguments
+    m = cfg_ns.model_arguments
+    save_dir = ensure_dir(cfg_ns.exp_arguments.save_dir)
+    subjects = pd.read_csv(d.process_list)["subject_id"].tolist()
+    modalities = list(getattr(d, "modalities",
+                              ["FLAIR", "T1", "T1Gd", "T2"]))
+    rows = []
+    for subject in subjects:
+        feats, sids = [], []
+        try:
+            for mod in modalities:
+                f, si = load_features_h5(os.path.join(
+                    d.feat_dir, "radio_h5_files", mod, f"{subject}.h5"))
+                feats.append(f)
+                sids.append(np.asarray(si))
+        except OSError:
+            print(f"missing features for {subject}")
+            continue
+        from multimodalfusion_tpu.data.bags import intersect_slices
+        bag = intersect_slices(feats, sids)[None]
+        mask = np.ones((1, bag.shape[1]), np.float32)
+        template = {"radio_bags": bag, "radio_mask": mask,
+                    "Y": np.zeros(1, np.int32), "t": np.zeros(1, np.float32),
+                    "c": np.zeros(1, np.float32),
+                    "valid": np.ones(1, np.float32)}
+        model, variables, cfg, settings = _load_model(
+            m, template, which_k=getattr(m, "which_k", 0))
+        scores = np.asarray(model.apply(
+            variables, bags=jnp.asarray(bag), mask=jnp.asarray(mask),
+            deterministic=True, attention_only=True))[0]
+        common = sorted(set.intersection(*[set(s.tolist()) for s in sids]))
+        n = len(scores)
+        decile = max(int(np.ceil(n * 0.1)), min(20, n))  # ref :604-612
+        order = np.argsort(-scores)
+        for rank, idx in enumerate(order):
+            rows.append({"subject_id": subject,
+                         "slice_index": common[idx] if idx < len(common)
+                         else idx,
+                         "attention": float(scores[idx]),
+                         "group": ("top" if rank < decile else
+                                   "low" if rank >= n - decile else "mid")})
+    pd.DataFrame(rows).to_csv(os.path.join(save_dir, "scores.csv"),
+                              index=False)
+    print(f"wrote slice attention scores -> {save_dir}/scores.csv")
+    return 0
+
+
+def run_omic_branch(cfg_ns) -> int:
+    d = cfg_ns.data_arguments
+    m = cfg_ns.model_arguments
+    save_dir = ensure_dir(cfg_ns.exp_arguments.save_dir)
+    exp_code = os.path.basename(os.path.normpath(m.ckpt_path))
+    settings = read_settings(os.path.join(m.ckpt_path,
+                                          f"experiment_{exp_code}.txt"))
+    dataset = SurvivalDataset(
+        csv_path=settings["csv_path"], mode="omic",
+        modalities=settings["radio_modality"],
+        data_dir=settings["data_root_dir"], n_bins=settings["n_classes"],
+        seed=settings["seed"])
+    split = dataset.whole_split(csv_file=os.path.join(
+        settings["split_dir"], f"splits_{getattr(m, 'which_k', 0)}.csv"))
+    idx = usable_indices(split)
+    batch = next(iter_batches(split, batch_size=len(idx), indices=idx))
+    subject_ids = batch.pop("subject_ids")
+    cfg = TrainConfig(model_type="max_net", mode="omic",
+                      n_classes=settings["n_classes"],
+                      bag_loss=settings["bag_loss"],
+                      batch_size=len(idx), seed=settings["seed"])
+    model = build_model(cfg)
+    variables = dict(model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        deterministic=True, genomic_features=jnp.asarray(batch["genomic"])))
+    variables = load_checkpoint(
+        os.path.join(m.ckpt_path,
+                     f"s_{getattr(m, 'which_k', 0)}_minloss_"
+                     "checkpoint.msgpack"), variables)
+
+    def risk_fn(g):
+        return model.apply(variables, genomic_features=g,
+                           deterministic=True)["risk"]
+
+    (attr,) = integrated_gradients(risk_fn,
+                                   (jnp.asarray(batch["genomic"]),))
+    attr = np.asarray(attr)
+    genes = split.genomic_cols
+    per_patient = pd.DataFrame(attr, columns=genes)
+    per_patient.insert(0, "subject_id",
+                       np.asarray(subject_ids)[batch["valid"] > 0])
+    per_patient.to_csv(os.path.join(save_dir, "omic_attr_per_patient.csv"),
+                       index=False)
+    global_df = pd.DataFrame({
+        "gene": genes,
+        "mean_abs_attr": np.mean(np.abs(attr), axis=0),
+        "mean_attr": np.mean(attr, axis=0),
+    }).sort_values("mean_abs_attr", ascending=False)
+    global_df.to_csv(os.path.join(save_dir, "omic_attr_global.csv"),
+                     index=False)
+    print(f"wrote omic attributions -> {save_dir}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg_ns = load_config(args.config)
+    branch = getattr(cfg_ns.exp_arguments, "branch", "path")
+    if branch == "path":
+        return run_path_branch(cfg_ns)
+    if branch == "radio":
+        return run_radio_branch(cfg_ns)
+    if branch == "omic":
+        return run_omic_branch(cfg_ns)
+    raise NotImplementedError(branch)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""Radiology GradCAM++ CLI — rewrite of ref gradcam.py + utils_ig.py:176:
+ResNet50 trunk + radio-AMIL head end-to-end on raw MRI slices; CAMs on
+the layer3 activations, weighted by each slice's attention score,
+saved as per-slice PNG overlays and a NIfTI CAM volume."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodalfusion_tpu.data.io import ensure_dir
+from multimodalfusion_tpu.data.nifti import write_nifti
+from multimodalfusion_tpu.data.radiology import (preprocess_glioma_scan,
+                                                 slices_to_rgb)
+from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                               load_checkpoint)
+from multimodalfusion_tpu.extract.features import _fit_spatial
+from multimodalfusion_tpu.interpret.gradcam import (cam_overlay, gradcam_pp,
+                                                    upsample_cams)
+from multimodalfusion_tpu.models.resnet import (ResNet50Trunc,
+                                                load_torch_checkpoint,
+                                                preprocess_images)
+from multimodalfusion_tpu.utils.experiment import read_settings
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="radiology GradCAM++")
+    p.add_argument("--scan", type=str, required=True, help="NIfTI path")
+    p.add_argument("--ckpt_path", type=str, required=True,
+                   help="stage-2 radio AMIL results dir")
+    p.add_argument("--which_k", type=int, default=0)
+    p.add_argument("--modality", type=str, default="T1")
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--weights", type=str, default=None,
+                   help="torch ResNet50 state_dict")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--top_frac", type=float, default=0.1,
+                   help="fraction of top-attention slices to render")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    save_dir = ensure_dir(args.save_dir)
+    exp_code = os.path.basename(os.path.normpath(args.ckpt_path))
+    settings = read_settings(os.path.join(args.ckpt_path,
+                                          f"experiment_{exp_code}.txt"))
+    modalities = settings["radio_modality"]
+
+    slices, slice_ids = preprocess_glioma_scan(args.scan)
+    if slices.shape[0] == 0:
+        print("empty scan")
+        return 1
+    rgb = _fit_spatial(slices_to_rgb(slices), args.image_size)
+    images = jnp.asarray(rgb)
+
+    resnet = ResNet50Trunc()
+    if args.weights:
+        res_vars = load_torch_checkpoint(args.weights)
+    else:
+        res_vars = resnet.init(jax.random.PRNGKey(0), images[:1])
+
+    cfg = TrainConfig(model_type="radio_attention_mil", mode="radio",
+                      modalities=tuple(modalities),
+                      n_classes=settings["n_classes"],
+                      bag_loss=settings["bag_loss"],
+                      radio_fusion=settings.get("radio_fusion") or "concat",
+                      gate_radio=settings.get("gate_radio", True),
+                      batch_size=1, seed=settings["seed"])
+    amil = build_model(cfg)
+    n_mod = len(modalities)
+    N = images.shape[0]
+    bag_template = jnp.zeros((1, N, n_mod * 1024), jnp.float32)
+    mask = jnp.ones((1, N), jnp.float32)
+    amil_vars = dict(amil.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        bags=bag_template, mask=mask, deterministic=True))
+    amil_vars = load_checkpoint(
+        os.path.join(args.ckpt_path,
+                     f"s_{args.which_k}_minloss_checkpoint.msgpack"),
+        amil_vars)
+    mod_slot = modalities.index(args.modality) if args.modality in \
+        modalities else 0
+
+    @jax.jit
+    def run(images):
+        x = preprocess_images(images, center_crop=args.image_size)
+        act = resnet.apply(res_vars, x, return_spatial=True)
+
+        def head(act):
+            emb = jnp.mean(act, axis=(1, 2))          # [N, 1024]
+            bag = jnp.zeros((1, N, n_mod * 1024), emb.dtype)
+            bag = jax.lax.dynamic_update_slice(
+                bag, emb[None], (0, 0, mod_slot * 1024))
+            out = amil.apply(amil_vars, bags=bag, mask=mask,
+                             deterministic=True)
+            return out["risk"]
+
+        grads = jax.grad(lambda a: jnp.sum(head(a)))(act)
+        cams = gradcam_pp(act, grads)
+        emb = jnp.mean(act, axis=(1, 2))
+        bag = jnp.zeros((1, N, n_mod * 1024), emb.dtype)
+        bag = jax.lax.dynamic_update_slice(bag, emb[None],
+                                           (0, 0, mod_slot * 1024))
+        scores = amil.apply(amil_vars, bags=bag, mask=mask,
+                            deterministic=True, attention_only=True)[0]
+        return cams, scores
+
+    cams, scores = run(images)
+    cams = np.asarray(cams)
+    scores = np.asarray(scores)
+    attn = np.exp(scores - scores.max())
+    attn = attn / attn.sum()
+    weighted = cams * (attn / max(attn.max(), 1e-12))[:, None, None]
+
+    ups = upsample_cams(weighted, slices.shape[1:3])
+    write_nifti(os.path.join(save_dir, "cam_volume.nii.gz"),
+                ups.astype(np.float32))
+    n_top = max(int(np.ceil(len(scores) * args.top_frac)), 1)
+    top = np.argsort(-scores)[:n_top]
+    for i in top:
+        overlay = cam_overlay(slices[i], ups[i])
+        cv2.imwrite(os.path.join(
+            save_dir, f"slice{int(slice_ids[i])}_a{scores[i]:.3f}.png"),
+            cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
+    print(f"wrote {n_top} overlays + cam_volume.nii.gz -> {save_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

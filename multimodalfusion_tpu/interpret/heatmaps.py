@@ -1,0 +1,91 @@
+"""WSI attention heatmaps + ROI sampling — rewrite of the visualization
+core of ref utils/WholeSlideImage.py:562-749 (visHeatmap),
+utils/wsi_utils.py:171-212 (to_percentiles / sample_rois)."""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import cv2
+import numpy as np
+
+
+def to_percentiles(scores: np.ndarray) -> np.ndarray:
+    """Rank-transform scores to [0, 100] (ref wsi_utils.py:171-176)."""
+    from scipy.stats import rankdata
+    return rankdata(scores, "average") / len(scores) * 100
+
+
+def draw_heatmap(slide, scores: np.ndarray, coords: np.ndarray,
+                 patch_size: int = 256, patch_level: int = 0,
+                 vis_level: Optional[int] = None, alpha: float = 0.4,
+                 blur: bool = False, use_percentiles: bool = True,
+                 binarize: bool = False, threshold: float = 0.5,
+                 cmap: str = "coolwarm") -> np.ndarray:
+    """Overlap-averaged attention overlay on the downscaled slide.
+
+    Mirrors ref visHeatmap: accumulate score + counter per pixel across
+    (possibly overlapping) patches, average, percentile-normalize,
+    colormap, alpha-blend with the tissue image.
+    """
+    from matplotlib import colormaps
+    if vis_level is None:
+        vis_level = slide.level_count - 1
+    ds = slide.level_downsamples[vis_level]
+    w, h = slide.level_dimensions[vis_level]
+    scores = np.asarray(scores, np.float64).reshape(-1)
+    if use_percentiles:
+        scores = to_percentiles(scores) / 100.0
+
+    overlay = np.zeros((h, w), np.float64)
+    counter = np.zeros((h, w), np.uint16)
+    pds = slide.level_downsamples[patch_level]
+    ps_vis = (max(int(patch_size * pds[0] / ds[0]), 1),
+              max(int(patch_size * pds[1] / ds[1]), 1))
+    for s, (x, y) in zip(scores, coords):
+        cx, cy = int(x / ds[0]), int(y / ds[1])
+        if binarize:
+            s = 1.0 if s >= threshold else 0.0
+        overlay[cy:cy + ps_vis[1], cx:cx + ps_vis[0]] += s
+        counter[cy:cy + ps_vis[1], cx:cx + ps_vis[0]] += 1
+    seen = counter > 0
+    overlay[seen] /= counter[seen]
+
+    img = slide.read_region((0, 0), vis_level, (w, h)).copy()
+    if blur:
+        k = (ps_vis[0] * 2 + 1, ps_vis[1] * 2 + 1)
+        overlay = cv2.GaussianBlur(overlay, k, 0)
+    cm_fn = colormaps[cmap]
+    heat = (cm_fn(np.clip(overlay, 0, 1))[..., :3] * 255).astype(np.uint8)
+    blended = img.copy()
+    blended[seen] = cv2.addWeighted(img, 1 - alpha, heat, alpha, 0)[seen]
+    return blended
+
+
+def sample_rois(scores: np.ndarray, coords: np.ndarray, k: int = 5,
+                mode: str = "topk", seed: int = 1,
+                score_range: Tuple[float, float] = (0.45, 0.55)):
+    """Select patch coordinates by attention score (ref
+    wsi_utils.py:191-212): topk / reverse_topk / range sampling.
+    Returns (sampled_scores, sampled_coords)."""
+    scores = np.asarray(scores).reshape(-1)
+    if len(scores) == 0:
+        return scores, coords
+    percentiles = to_percentiles(scores) / 100.0
+    if mode == "topk":
+        order = np.argsort(-scores)[:k]
+    elif mode == "reverse_topk":
+        order = np.argsort(scores)[:k]
+    elif mode == "range_sample":
+        lo, hi = score_range
+        pool = np.flatnonzero((percentiles >= lo) & (percentiles <= hi))
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(pool)[:k]
+    else:
+        raise NotImplementedError(mode)
+    return scores[order], coords[order]
+
+
+def dynamic_k(bag_size: int, frac: float = 0.005, floor: int = 200) -> int:
+    """Heatmap patch-sampling k = max(0.5% of bag, 200)
+    (ref create_heatmaps.py:481-492)."""
+    return max(int(bag_size * frac), floor)

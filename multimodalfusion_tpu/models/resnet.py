@@ -62,7 +62,8 @@ class ResNet50Trunc(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 return_spatial: bool = False):
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, kernel_init=he_normal,
@@ -79,6 +80,10 @@ class ResNet50Trunc(nn.Module):
                 x = Bottleneck(width=width, strides=strides,
                                downsample=downsample, dtype=self.dtype,
                                name=f"layer{stage}_{i}")(x, train)
+        if return_spatial:
+            # layer3 output [B, h, w, 1024] — the GradCAM target layer
+            # (ref gradcam.py:64 uses resnet50.layer3[-1])
+            return x.astype(jnp.float32)
         # adaptive average pool to 1x1 (ref resnet_custom.py:100-106)
         x = jnp.mean(x, axis=(1, 2))
         return x.astype(jnp.float32)

@@ -1,0 +1,161 @@
+"""Integrated gradients, GradCAM++, heatmaps, and survival analysis."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodalfusion_tpu import analysis
+from multimodalfusion_tpu.interpret import gradcam, heatmaps
+from multimodalfusion_tpu.interpret.ig import (completeness_gap,
+                                               integrated_gradients,
+                                               modality_attributions)
+
+
+def test_ig_linear_function_exact():
+    """For linear f, IG = w * x exactly at any n_steps."""
+    w = jnp.array([1.0, -2.0, 3.0])
+    x = jnp.array([[2.0, 1.0, -1.0]])
+    (attr,) = integrated_gradients(lambda a: a @ w, (x,), n_steps=5)
+    np.testing.assert_allclose(np.asarray(attr), np.asarray(x * w),
+                               rtol=1e-6)
+
+
+def test_ig_completeness_nonlinear():
+    def f(a):
+        return jnp.sum(jnp.tanh(a) ** 2, axis=-1)
+    x = jnp.array([[0.5, -1.2, 2.0, 0.1]])
+    attrs = integrated_gradients(f, (x,), n_steps=256)
+    gap = completeness_gap(f, (x,), attrs)
+    assert gap < 1e-3
+
+
+def test_ig_multiple_inputs():
+    def f(a, b):
+        return jnp.sum(a * 2.0, axis=-1) + jnp.sum(b ** 2, axis=-1)
+    a = jnp.ones((3, 4))
+    b = jnp.full((3, 2), 2.0)
+    attr_a, attr_b = integrated_gradients(f, (a, b), n_steps=64)
+    np.testing.assert_allclose(np.asarray(attr_a), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(attr_b), 4.0, rtol=1e-2)
+
+
+def test_modality_attributions_shapes():
+    def f(a, b):
+        return jnp.sum(a, axis=-1) - jnp.sum(b, axis=-1)
+    a = jnp.ones((4, 8))
+    b = jnp.ones((4, 8))
+    out = modality_attributions(f, (a, b), ("radio", "path"))
+    assert set(out) == {"radio", "path"}
+    assert out["radio"].shape == (4,)
+
+
+def test_gradcam_pp_localizes():
+    """Activation energy concentrated in one quadrant -> CAM peaks
+    there."""
+    act = np.zeros((1, 8, 8, 4), np.float32)
+    act[0, :4, :4, :] = 1.0
+    w = jnp.ones((4,))
+
+    def head(a):
+        return jnp.einsum("bhwc,c->b", a, w)
+
+    grads = jax.grad(lambda a: jnp.sum(head(a)))(jnp.asarray(act))
+    cams = gradcam.gradcam_pp(jnp.asarray(act), grads)
+    cams = np.asarray(cams)
+    assert cams.shape == (1, 8, 8)
+    assert cams[0, :4, :4].mean() > cams[0, 4:, 4:].mean()
+    assert cams.max() <= 1.0 + 1e-6
+
+
+def test_cam_overlay_shapes():
+    img = np.random.default_rng(0).uniform(size=(32, 32)).astype(np.float32)
+    cam = np.zeros((32, 32), np.float32)
+    cam[8:16, 8:16] = 1.0
+    out = gradcam.cam_overlay(img, cam)
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+
+
+def test_to_percentiles():
+    s = np.array([1.0, 5.0, 3.0])
+    p = heatmaps.to_percentiles(s)
+    assert list(np.argsort(p)) == list(np.argsort(s))
+    assert p.max() == 100.0
+
+
+def test_draw_heatmap_and_sampling():
+    from multimodalfusion_tpu.data import wsi
+    slide = wsi.synthetic_slide(1024, 768, n_blobs=2, seed=3)
+    coords = np.array([[0, 0], [256, 256], [512, 512], [256, 0]])
+    scores = np.array([0.1, 0.9, 0.5, 0.3])
+    img = heatmaps.draw_heatmap(slide, scores, coords, patch_size=256,
+                                vis_level=2)
+    assert img.shape[2] == 3
+    sc, cc = heatmaps.sample_rois(scores, coords, k=2, mode="topk")
+    assert list(sc) == [0.9, 0.5]
+    sc, cc = heatmaps.sample_rois(scores, coords, k=2, mode="reverse_topk")
+    assert list(sc) == [0.1, 0.3]
+    assert heatmaps.dynamic_k(100000) == 500
+    assert heatmaps.dynamic_k(1000) == 200
+
+
+# ---------------------------------------------------------------------------
+# analysis / reporting
+# ---------------------------------------------------------------------------
+
+def test_logrank_identical_groups():
+    rng = np.random.default_rng(0)
+    t = rng.uniform(1, 50, 40)
+    e = np.ones(40, bool)
+    chi2, p = analysis.logrank_test(e, t, e, t)
+    assert chi2 == pytest.approx(0.0, abs=1e-10)
+    assert p == pytest.approx(1.0)
+
+
+def test_logrank_separated_groups():
+    t_a = np.linspace(1, 10, 30)
+    t_b = np.linspace(50, 90, 30)
+    e = np.ones(30, bool)
+    chi2, p = analysis.logrank_test(e, t_a, e, t_b)
+    assert p < 1e-6 and chi2 > 20
+
+
+def test_bootstrap_ci_contains_point():
+    rng = np.random.default_rng(1)
+    n = 60
+    risk = rng.normal(size=n)
+    t = np.exp(2 - risk + 0.3 * rng.normal(size=n))
+    e = np.ones(n, bool)
+    c, lo, hi = analysis.bootstrap_cindex_ci(e, t, risk, n_boot=200)
+    assert lo <= c <= hi
+    assert c > 0.7
+
+
+def test_km_by_risk_group_and_plot(tmp_path):
+    rng = np.random.default_rng(2)
+    n = 80
+    risk = rng.normal(size=n)
+    t = np.exp(2.5 - risk + 0.2 * rng.normal(size=n))
+    results = {"subject_id": np.array([f"S{i}" for i in range(n)]),
+               "risk": risk, "survival": t,
+               "censorship": (rng.uniform(size=n) < 0.2).astype(float),
+               "disc_label": np.zeros(n)}
+    groups = analysis.km_by_risk_group(results)
+    assert groups["logrank_p"] < 0.01  # risk separates survival
+    out = analysis.plot_km(groups, str(tmp_path / "km.png"))
+    import os
+    assert os.path.getsize(out) > 1000
+
+
+def test_summarize_experiments(tmp_path):
+    import os
+    import pandas as pd
+    for exp, vals in (("EXP_A", [0.7, 0.75]), ("EXP_B", [0.6, 0.65])):
+        d = tmp_path / "brain" / "5foldcv" / exp
+        os.makedirs(d)
+        pd.DataFrame({"folds": [0, 1], "val_cindex": vals}).to_csv(
+            d / "summary.csv")
+    df = analysis.summarize_experiments(str(tmp_path))
+    assert len(df) == 2
+    a = df[df.experiment == "EXP_A"].iloc[0]
+    assert a["val_cindex_mean"] == pytest.approx(0.725)

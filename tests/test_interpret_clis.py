@@ -1,0 +1,176 @@
+"""End-to-end interpretability CLIs: IG attributions on a trained fusion
+head, heatmap branches (omic + radio + path) via YAML configs, and
+radiology GradCAM."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+
+from fixtures import (make_cohort_csv, make_feature_store,
+                      make_pretrained_store, make_splits)
+
+from multimodalfusion_tpu.cli.create_attributions import main as attr_main
+from multimodalfusion_tpu.cli.create_heatmaps import main as hm_main
+from multimodalfusion_tpu.cli.main import main as s2_main
+from multimodalfusion_tpu.cli.main_pretrained import main as s4_main
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    b = tmp_path_factory.mktemp("interp")
+    csv_path, df, latent = make_cohort_csv(
+        str(b / "dataset_csv" / "brain"), n=40, seed=21)
+    make_feature_store(str(b / "features" / "brain"), df, latent, seed=21,
+                       bag_range=(5, 15))
+    make_pretrained_store(str(b / "features" / "brain"), df, latent,
+                          seed=21)
+    make_splits(str(b / "splits" / "brain" / "2foldcv"), df, k=2, seed=21)
+    common = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+              "--k", "2", "--data_root_dir", str(b / "features"),
+              "--dataset_root", str(b / "dataset_csv"),
+              "--splits_root", str(b / "splits"), "--overwrite"]
+    # stage-4 trimodal head (for attributions)
+    rc = s4_main(common + ["--results_dir", str(b / "s4"),
+                           "--model_type", "mm_attention_mil",
+                           "--mode", "radio_path_omic",
+                           "--train_type", "early-fcnn",
+                           "--bag_loss", "nll_surv", "--batch_size", "16",
+                           "--max_epochs", "3", "--lr", "1e-3"])
+    assert rc == 0
+    # stage-2 omic + radio models (for heatmap branches)
+    rc = s2_main(common + ["--results_dir", str(b / "s2o"),
+                           "--model_type", "max_net", "--mode", "omic",
+                           "--bag_loss", "nll_surv", "--batch_size", "16",
+                           "--max_epochs", "2", "--lr", "1e-3"])
+    assert rc == 0
+    rc = s2_main(common + ["--results_dir", str(b / "s2r"),
+                           "--model_type", "radio_attention_mil",
+                           "--mode", "radio", "--radio_fusion", "concat",
+                           "--bag_loss", "nll_surv", "--batch_size", "4",
+                           "--max_epochs", "2", "--lr", "1e-3"])
+    assert rc == 0
+    return b, df
+
+
+def test_attributions_cli(trained, tmp_path):
+    b, df = trained
+    exp = next((b / "s4" / "brain" / "2foldcv").iterdir())
+    rc = attr_main(["--model_path", str(exp),
+                    "--save_dir", str(tmp_path / "attr"),
+                    "--batch_size", "8"])
+    assert rc == 0
+    out = (tmp_path / "attr" / "brain" / "2foldcv" / exp.name)
+    attr = pd.read_csv(out / "attr.csv")
+    assert {"radio_attr", "path_attr", "omic_attr"} <= set(attr.columns)
+    assert len(attr) > 10
+    assert (attr[["radio_attr", "path_attr", "omic_attr"]] >= 0).all().all()
+    attr_orig = pd.read_csv(out / "attr_orig.csv")
+    assert len(attr_orig) == len(attr)
+
+
+def test_heatmap_omic_branch(trained, tmp_path):
+    b, df = trained
+    exp = next((b / "s2o" / "brain" / "2foldcv").iterdir())
+    config = {
+        "exp_arguments": {"branch": "omic",
+                          "save_dir": str(tmp_path / "hm_omic")},
+        "data_arguments": {},
+        "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+    }
+    cfg_path = tmp_path / "omic.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config", str(cfg_path)])
+    assert rc == 0
+    g = pd.read_csv(tmp_path / "hm_omic" / "omic_attr_global.csv")
+    assert {"gene", "mean_abs_attr"} <= set(g.columns)
+    assert len(g) == 12
+    pp = pd.read_csv(tmp_path / "hm_omic" / "omic_attr_per_patient.csv")
+    assert "subject_id" in pp.columns
+
+
+def test_heatmap_radio_branch(trained, tmp_path):
+    b, df = trained
+    exp = next((b / "s2r" / "brain" / "2foldcv").iterdir())
+    plist = tmp_path / "subjects.csv"
+    pd.DataFrame({"subject_id": df["subject_id"].iloc[:3]}).to_csv(
+        plist, index=False)
+    config = {
+        "exp_arguments": {"branch": "radio",
+                          "save_dir": str(tmp_path / "hm_radio")},
+        "data_arguments": {"process_list": str(plist),
+                           "feat_dir": str(b / "features" / "brain"),
+                           "modalities": ["T1", "T2", "T1Gd", "FLAIR"]},
+        "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+    }
+    cfg_path = tmp_path / "radio.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config", str(cfg_path)])
+    assert rc == 0
+    scores = pd.read_csv(tmp_path / "hm_radio" / "scores.csv")
+    assert {"subject_id", "slice_index", "attention", "group"} <= \
+        set(scores.columns)
+    assert set(scores["group"]) <= {"top", "mid", "low"}
+    assert scores["subject_id"].nunique() == 3
+
+
+def test_heatmap_path_branch(trained, tmp_path):
+    """Path branch: synthesize a slide + its bag, train a tiny path model
+    with matching feature dim, then heatmap it."""
+    from PIL import Image
+    from multimodalfusion_tpu.cli.create_patches import main as cp_main
+    from multimodalfusion_tpu.cli.extract_features_fp import main as fx_main
+    from multimodalfusion_tpu.data import wsi
+
+    b, df = trained
+    slides_dir = tmp_path / "slides"
+    os.makedirs(slides_dir)
+    slide = wsi.synthetic_slide(2048, 1536, n_blobs=3, seed=9)
+    imgs = [Image.fromarray(l) for l in slide.levels]
+    imgs[0].save(str(slides_dir / "HEAT1.tiff"), save_all=True,
+                 append_images=imgs[1:])
+    rc = cp_main(["--source", str(slides_dir),
+                  "--save_dir", str(tmp_path / "patched"),
+                  "--a_t", "0.5", "--a_h", "0.05"])
+    assert rc == 0
+    rc = fx_main(["--data_h5_dir", str(tmp_path / "patched"),
+                  "--data_slide_dir", str(slides_dir),
+                  "--feat_dir", str(tmp_path / "wsifeat"),
+                  "--slide_ext", ".tiff", "--batch_size", "16",
+                  "--target_patch_size", "128"])
+    assert rc == 0
+
+    # reuse the trained path model from the pipeline store: train quickly
+    rc_train = s2_main([
+        "--cancer_type", "brain", "--which_splits", "2foldcv", "--k", "1",
+        "--k_end", "1", "--data_root_dir", str(b / "features"),
+        "--dataset_root", str(b / "dataset_csv"),
+        "--splits_root", str(b / "splits"), "--overwrite",
+        "--results_dir", str(tmp_path / "s2p"),
+        "--model_type", "path_attention_mil", "--mode", "path",
+        "--bag_loss", "nll_surv", "--batch_size", "4",
+        "--max_epochs", "1", "--lr", "1e-3"])
+    assert rc_train == 0
+    exp = next((tmp_path / "s2p" / "brain" / "2foldcv").iterdir())
+
+    plist = tmp_path / "slides.csv"
+    pd.DataFrame({"slide_id": ["HEAT1.tiff"]}).to_csv(plist, index=False)
+    config = {
+        "exp_arguments": {"branch": "path",
+                          "save_dir": str(tmp_path / "hm_path")},
+        "data_arguments": {"process_list": str(plist),
+                           "data_dir": str(slides_dir),
+                           "feat_dir": str(tmp_path / "wsifeat")},
+        "patching_arguments": {"patch_size": 256},
+        "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+        "heatmap_arguments": {"alpha": 0.4, "cmap": "coolwarm"},
+        "sample_arguments": {"floor": 4, "save_n": 3},
+    }
+    cfg_path = tmp_path / "path.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config", str(cfg_path)])
+    assert rc == 0
+    assert (tmp_path / "hm_path" / "HEAT1_heatmap.jpg").exists()
+    topk = list((tmp_path / "hm_path" / "HEAT1_topk").glob("*.png"))
+    assert len(topk) == 3
