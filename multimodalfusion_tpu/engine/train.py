@@ -235,11 +235,14 @@ def make_steps(cfg: TrainConfig, model, tx):
 # ---------------------------------------------------------------------------
 
 class EarlyStopping:
-    def __init__(self, warmup=0, patience=20, stop_epoch=100, verbose=False):
+    def __init__(self, warmup=0, patience=20, stop_epoch=100, verbose=False,
+                 model_type=None, gated=True):
         self.warmup = warmup
         self.patience = patience
         self.stop_epoch = stop_epoch
         self.verbose = verbose
+        self.model_type = model_type
+        self.gated = gated
         self.counter = 0
         self.best_score = None
         self.early_stop = False
@@ -266,13 +269,25 @@ class EarlyStopping:
 
     def _save(self, val_loss, variables, ckpt_name):
         if ckpt_name is not None:
-            save_checkpoint(ckpt_name, variables)
+            save_checkpoint(ckpt_name, variables, self.model_type,
+                            self.gated)
         self.val_loss_min = val_loss
 
 
-def save_checkpoint(path: str, variables) -> None:
+def save_checkpoint(path: str, variables, model_type: str = None,
+                    gated: bool = True) -> None:
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(variables))
+    # reference-interop: also export a .pt state_dict when the model type
+    # has a torch mapping (ref checkpoint names s_{k}_*.pt)
+    if model_type in ("max_net", "path_attention_mil",
+                      "radio_attention_mil"):
+        try:
+            from multimodalfusion_tpu.utils.torch_interop import export_pt
+            export_pt(path.replace(".msgpack", ".pt"), model_type,
+                      variables["params"], gated=gated)
+        except Exception:
+            pass
 
 
 def load_checkpoint(path: str, variables_template):
@@ -406,9 +421,13 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             return results_val, val_c, results_test, test_c
         return results_val, val_c
 
+    gated = cfg.gate_path if cfg.model_type == "path_attention_mil" \
+        else cfg.gate_radio
     stopper = (EarlyStopping(warmup=0, patience=20,
                              stop_epoch=100 if not cfg.pretrained else 50,
-                             verbose=True)
+                             verbose=True,
+                             model_type=None if cfg.pretrained else
+                             cfg.model_type, gated=gated)
                if cfg.early_stopping else None)
 
     stop = False
@@ -430,7 +449,10 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         if epoch == 10:
-            save_checkpoint(mid_ckpt, variables)  # ref core_utils.py:342
+            # ref core_utils.py:342
+            save_checkpoint(mid_ckpt, variables,
+                            None if cfg.pretrained else cfg.model_type,
+                            gated)
         if stopper is not None:
             stopper(epoch, va["loss"], variables, minloss_ckpt)
             if stopper.early_stop:
@@ -439,14 +461,16 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         if stop:
             break
 
-    save_checkpoint(ckpt, variables)
+    save_checkpoint(ckpt, variables,
+                    None if cfg.pretrained else cfg.model_type, gated)
     final_results_val, final_val_c = summary_survival(
         cfg, val_split, variables, eval_step, val_idx)
     if cfg.early_stopping and os.path.exists(minloss_ckpt):
         variables = load_checkpoint(minloss_ckpt, variables)
     else:
         # no early stopping: minloss == final (keep downstream contracts)
-        save_checkpoint(minloss_ckpt, variables)
+        save_checkpoint(minloss_ckpt, variables,
+                        None if cfg.pretrained else cfg.model_type, gated)
     results_val, val_c = summary_survival(cfg, val_split, variables,
                                           eval_step, val_idx)
     print(f"Final Val c-Index: {final_val_c:.4f}")
