@@ -24,12 +24,23 @@ def bucket_len(n: int) -> int:
 
 
 def pad_bags(bags: Sequence[Optional[np.ndarray]], feat_dim: int,
-             dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+             dtype=np.float32, reuse_buffers: bool = False
+             ) -> Tuple[np.ndarray, np.ndarray]:
     """Stack a list of [n_i, D] bags (None = missing modality -> all-pad)
-    into (padded [B, N_bucket, D], mask [B, N_bucket])."""
+    into (padded [B, N_bucket, D], mask [B, N_bucket]).
+
+    Uses the threaded C++ collation (native/bagio.cpp) when available
+    and falls back to numpy.
+    """
     n_max = max([b.shape[0] for b in bags if b is not None], default=1)
     n_pad = bucket_len(n_max)
     B = len(bags)
+    if dtype == np.float32:
+        from multimodalfusion_tpu import native
+        res = native.pad_bags_native(list(bags), n_pad, feat_dim,
+                                     reuse_buffers=reuse_buffers)
+        if res is not None:
+            return res
     out = np.zeros((B, n_pad, feat_dim), dtype=dtype)
     mask = np.zeros((B, n_pad), dtype=np.float32)
     for i, b in enumerate(bags):

@@ -67,11 +67,14 @@ def _batch_from_samples(samples: List[Sample], mode: str, pretrained: bool,
 
     if "radio" in mode:
         bags = [s.radio for s in samples] + [None] * (B - n)
+        # reuse-mode is safe: the engine device-puts each batch before the
+        # loader builds the next one
         batch["radio_bags"], batch["radio_mask"] = pad_bags(
-            bags, n_radio_feat)
+            bags, n_radio_feat, reuse_buffers=True)
     if "path" in mode:
         bags = [s.path for s in samples] + [None] * (B - n)
-        batch["path_bags"], batch["path_mask"] = pad_bags(bags, n_path_feat)
+        batch["path_bags"], batch["path_mask"] = pad_bags(
+            bags, n_path_feat, reuse_buffers=True)
     if "omic" in mode:
         G = next((s.omic.shape[0] for s in samples if s.omic is not None), 1)
         arr = np.zeros((B, G), np.float32)
