@@ -125,6 +125,46 @@ def run_path_branch(cfg_ns) -> int:
         cv2.imwrite(out, cv2.cvtColor(heat, cv2.COLOR_RGB2BGR))
         print(f"{stem}: heatmap -> {out}")
 
+        # optional fine heatmap at overlapping stride (ref
+        # heatmap_utils.compute_from_patches at overlap 0.75)
+        overlap = float(getattr(h, "overlap", 0.0) or 0.0)
+        if overlap > 0:
+            from multimodalfusion_tpu.data import wsi as wsi_mod2
+            from multimodalfusion_tpu.extract.features import Embedder
+            from multimodalfusion_tpu.interpret.heatmaps import \
+                compute_fine_scores
+            p = cfg_ns.patching_arguments
+            tissue, holes = wsi_mod2.segment_tissue(
+                slide, seg_level=None,
+                a_t=float(getattr(p, "a_t", 100.0)),
+                a_h=float(getattr(p, "a_h", 16.0)))
+            embedder = Embedder(
+                weights_path=getattr(m, "resnet_weights", None),
+                batch_size=int(getattr(p, "batch_size", 128)),
+                image_size=int(getattr(p, "target_patch_size", 224)))
+
+            def score_fn(feats):
+                import jax.numpy as _jnp
+                bag = _jnp.asarray(feats)[None]
+                msk = _jnp.ones((1, bag.shape[1]), _jnp.float32)
+                return model.apply(variables, bags=bag, mask=msk,
+                                   deterministic=True,
+                                   attention_only=True)[0]
+
+            fscores, fcoords = compute_fine_scores(
+                slide, tissue, holes, embedder, score_fn,
+                patch_size=patch_size, overlap=overlap)
+            if len(fcoords):
+                fine = draw_heatmap(slide, fscores, fcoords,
+                                    patch_size=patch_size,
+                                    alpha=float(getattr(h, "alpha", 0.4)),
+                                    blur=True, use_percentiles=True,
+                                    cmap=getattr(h, "cmap", "coolwarm"))
+                out_f = os.path.join(save_dir, f"{stem}_fine_heatmap.jpg")
+                cv2.imwrite(out_f, cv2.cvtColor(fine, cv2.COLOR_RGB2BGR))
+                print(f"{stem}: fine heatmap ({len(fcoords)} patches at "
+                      f"overlap {overlap}) -> {out_f}")
+
         # top/bottom patch sampling (ref :481-556)
         k = dynamic_k(len(scores), floor=int(getattr(s, "floor", 200)))
         k = min(k, len(scores))

@@ -355,6 +355,42 @@ def stitch_coords(slide, coords: np.ndarray, patch_level: int = 0,
     return canvas
 
 
+def fetch_mag_patching_params(slide, mag_level: int = 40,
+                              patch_size: int = 256, step_size: int = 256,
+                              mpp: Optional[float] = None, dec_prec: int = 1):
+    """Magnification-aware patch parameters (ref
+    WholeSlideImage.fetch_mag_patching_params :813-852): infer the
+    level-0 magnification from microns-per-pixel, then either find the
+    pyramid level whose downsample matches the requested magnification or
+    fall back to level 0 with an enlarged patch (custom downsample).
+
+    Returns (level0_mag, patch_level, patch_size, step_size,
+    custom_downsample) with custom_downsample None when a native level
+    matches.
+    """
+    if mpp is None:
+        props = getattr(getattr(slide, "wsi", None), "properties", {}) or {}
+        try:
+            mpp = float(props.get("openslide.mpp-x", -1))
+        except (TypeError, ValueError):
+            mpp = -1.0
+    level0_mag = -1
+    if 0 <= mpp < 0.3:
+        level0_mag = 40
+    elif mpp < 0.6:
+        level0_mag = 20
+    if level0_mag <= 0:
+        level0_mag = 40  # sensible default when properties are absent
+    all_ds = [round(xy[0], dec_prec) if dec_prec >= 0 else xy[0]
+              for xy in slide.level_downsamples]
+    custom = int(level0_mag / mag_level)
+    if custom in all_ds:
+        return (level0_mag, all_ds.index(custom), patch_size, step_size,
+                None)
+    return (level0_mag, 0, int(patch_size * custom),
+            int(step_size * custom), custom)
+
+
 def synthetic_slide(width: int = 2048, height: int = 1536, n_blobs: int = 3,
                     seed: int = 0, n_levels: int = 3) -> ArraySlide:
     """Synthetic H&E-like slide: white background + pink/purple tissue

@@ -67,6 +67,10 @@ class TrainConfig:
     train_type: Optional[str] = None
     n_layers: int = 1
     pretrained: bool = False
+    # 'multimodal-dropout' (ref core_utils_pretrained.py:161-177): train a
+    # late-fcnn head but freeze a modality branch's params for any step
+    # where the whole batch lacks that modality (zero embeddings)
+    multimodal_dropout: bool = False
     # engine knobs (no reference equivalent)
     bag_dtype: str = "float32"
 
@@ -79,7 +83,10 @@ def build_model(cfg: TrainConfig):
     """Model dispatch (ref core_utils.py:76-98,
     core_utils_pretrained.py:74-87)."""
     if cfg.pretrained:
-        kwargs = dict(mode=cfg.mode, train_type=cfg.train_type,
+        train_type = cfg.train_type
+        if train_type == "multimodal-dropout":
+            train_type = "late-fcnn"  # the head the freeze markers target
+        kwargs = dict(mode=cfg.mode, train_type=train_type,
                       bag_loss=cfg.bag_loss, n_classes=cfg.n_classes,
                       n_layers=cfg.n_layers)
         if cfg.model_type == "mm_attention_mil":
@@ -212,7 +219,14 @@ def make_steps(cfg: TrainConfig, model, tx):
 
         (total, (loss, out, updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        mm_dropout = (cfg.multimodal_dropout
+                      or cfg.train_type == "multimodal-dropout")
+        if mm_dropout:
+            grads = _mask_missing_modality_grads(grads, batch)
         updates_tx, opt_state = tx.update(grads, opt_state, params)
+        if mm_dropout:
+            # weight decay alone must not move frozen branches either
+            updates_tx = _mask_missing_modality_grads(updates_tx, batch)
         params = optax.apply_updates(params, updates_tx)
         new_vars = {"params": params, **rest}
         if "batch_stats" in updates:
@@ -228,6 +242,35 @@ def make_steps(cfg: TrainConfig, model, tx):
                 "hazards": out["hazards"]}
 
     return train_step, eval_step
+
+
+_MODALITY_MARKERS = {
+    "radio": ("MRI", "radio"),
+    "path": ("WSI", "path"),
+    "omic": ("omic",),
+}
+
+
+def _mask_missing_modality_grads(grads, batch):
+    """Zero the gradients of a modality branch when the whole batch has
+    all-zero embeddings for it (batched generalization of the
+    reference's per-sample requires_grad freezing,
+    ref core_utils_pretrained.py:161-177)."""
+    present = {
+        m: jnp.any(jnp.abs(batch[f"h_{m}"]) > 0).astype(jnp.float32)
+        for m in ("radio", "path", "omic") if f"h_{m}" in batch}
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)
+    out = []
+    for path, leaf in flat[0]:
+        path_str = "/".join(str(getattr(p, "key", p)) for p in path)
+        scale = 1.0
+        for m, markers in _MODALITY_MARKERS.items():
+            if m in present and any(mk in path_str for mk in markers):
+                scale = present[m]
+                break
+        out.append(leaf * scale)
+    return jax.tree_util.tree_unflatten(flat[1], out)
 
 
 # ---------------------------------------------------------------------------

@@ -89,3 +89,36 @@ def dynamic_k(bag_size: int, frac: float = 0.005, floor: int = 200) -> int:
     """Heatmap patch-sampling k = max(0.5% of bag, 200)
     (ref create_heatmaps.py:481-492)."""
     return max(int(bag_size * frac), floor)
+
+
+def compute_fine_scores(slide, tissue, holes, embedder, score_fn,
+                        patch_size: int = 256, overlap: float = 0.75,
+                        patch_level: int = 0, chunk: int = 512):
+    """Fine heatmap pass: re-grid the tissue at overlapping stride
+    (step = patch_size * (1 - overlap)), embed every patch, and score the
+    whole overlapping bag with the model's attention
+    (ref heatmap_utils.compute_from_patches:111-150 at overlap 0.75).
+
+    ``score_fn(features [N, D]) -> scores [N]``.
+    Returns (scores, coords).
+    """
+    from multimodalfusion_tpu.data.wsi import (process_contours,
+                                               read_patches)
+    step = max(int(patch_size * (1 - overlap)), 1)
+    coords, _ = process_contours(slide, tissue, holes,
+                                 patch_level=patch_level,
+                                 patch_size=patch_size, step_size=step)
+    if len(coords) == 0:
+        return np.zeros(0), coords
+    feats = []
+    for start in range(0, len(coords), chunk):
+        patches = read_patches(slide, coords[start:start + chunk],
+                               patch_level, patch_size)
+        if patches.shape[1] != embedder.image_size:
+            patches = np.stack([
+                cv2.resize(p, (embedder.image_size, embedder.image_size))
+                for p in patches])
+        feats.append(embedder.embed_images(patches))
+    feats = np.concatenate(feats, axis=0)
+    scores = np.asarray(score_fn(feats)).reshape(-1)
+    return scores, coords

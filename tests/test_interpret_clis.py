@@ -162,9 +162,12 @@ def test_heatmap_path_branch(trained, tmp_path):
         "data_arguments": {"process_list": str(plist),
                            "data_dir": str(slides_dir),
                            "feat_dir": str(tmp_path / "wsifeat")},
-        "patching_arguments": {"patch_size": 256},
+        "patching_arguments": {"patch_size": 256, "a_t": 0.5,
+                               "a_h": 0.05, "batch_size": 16,
+                               "target_patch_size": 128},
         "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
-        "heatmap_arguments": {"alpha": 0.4, "cmap": "coolwarm"},
+        "heatmap_arguments": {"alpha": 0.4, "cmap": "coolwarm",
+                              "overlap": 0.5},
         "sample_arguments": {"floor": 4, "save_n": 3},
     }
     cfg_path = tmp_path / "path.yaml"
@@ -172,5 +175,7 @@ def test_heatmap_path_branch(trained, tmp_path):
     rc = hm_main(["--config", str(cfg_path)])
     assert rc == 0
     assert (tmp_path / "hm_path" / "HEAT1_heatmap.jpg").exists()
+    # fine heatmap at overlap 0.5 (re-extraction through the embedder)
+    assert (tmp_path / "hm_path" / "HEAT1_fine_heatmap.jpg").exists()
     topk = list((tmp_path / "hm_path" / "HEAT1_topk").glob("*.png"))
     assert len(topk) == 3

@@ -1,0 +1,88 @@
+"""multimodal-dropout: branch params freeze when the batch lacks that
+modality (ref core_utils_pretrained.py:161-177 semantics)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                               make_optimizer, make_steps,
+                                               model_inputs)
+
+
+def _leaf_paths(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {"/".join(str(getattr(p, "key", p)) for p in path): leaf
+            for path, leaf in flat}
+
+
+def test_missing_radio_freezes_radio_branch(rng):
+    cfg = TrainConfig(model_type="mm_attention_mil",
+                      mode="radio_path_omic",
+                      train_type="multimodal-dropout",
+                      bag_loss="nll_surv", batch_size=4, pretrained=True)
+    model = build_model(cfg)
+    assert model.train_type == "late-fcnn"
+    tx = make_optimizer(cfg)
+    train_step, _ = make_steps(cfg, model, tx)
+    B = 4
+    batch = {
+        "h_radio": np.zeros((B, 256), np.float32),      # missing
+        "h_path": rng.normal(size=(B, 256)).astype(np.float32),
+        "h_omic": rng.normal(size=(B, 256)).astype(np.float32),
+        "Y": rng.integers(0, 4, B).astype(np.int32),
+        "t": rng.uniform(1, 50, B).astype(np.float32),
+        "c": np.zeros(B, np.float32),
+        "valid": np.ones(B, np.float32),
+    }
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = dict(model.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                                deterministic=True,
+                                **model_inputs(cfg, jbatch)))
+    opt_state = tx.init(variables["params"])
+    new_vars, _, out = train_step(variables, opt_state, jbatch,
+                                  jax.random.PRNGKey(2))
+
+    before = _leaf_paths(variables["params"])
+    after = _leaf_paths(new_vars["params"])
+    changed_radio = changed_other = 0
+    for k in before:
+        same = np.allclose(np.asarray(before[k]), np.asarray(after[k]))
+        if "MRI" in k:
+            assert same, f"radio branch param {k} changed"
+            changed_radio += 0 if same else 1
+        elif "WSI" in k or "omic" in k:
+            changed_other += 0 if same else 1
+    assert changed_other > 0  # present branches keep training
+
+
+def test_all_present_trains_everything(rng):
+    cfg = TrainConfig(model_type="mm_attention_mil",
+                      mode="radio_path_omic",
+                      train_type="multimodal-dropout",
+                      bag_loss="nll_surv", batch_size=4, pretrained=True)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    train_step, _ = make_steps(cfg, model, tx)
+    B = 4
+    batch = {f"h_{m}": rng.normal(size=(B, 256)).astype(np.float32)
+             for m in ("radio", "path", "omic")}
+    batch.update({"Y": rng.integers(0, 4, B).astype(np.int32),
+                  "t": rng.uniform(1, 50, B).astype(np.float32),
+                  "c": np.zeros(B, np.float32),
+                  "valid": np.ones(B, np.float32)})
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = dict(model.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                                deterministic=True,
+                                **model_inputs(cfg, jbatch)))
+    opt_state = tx.init(variables["params"])
+    new_vars, _, _ = train_step(variables, opt_state, jbatch,
+                                jax.random.PRNGKey(2))
+    before = _leaf_paths(variables["params"])
+    after = _leaf_paths(new_vars["params"])
+    n_changed = sum(
+        0 if np.allclose(np.asarray(before[k]), np.asarray(after[k]))
+        else 1 for k in before)
+    assert n_changed >= len(before) - 2  # BN-free head: nearly all move

@@ -148,3 +148,18 @@ def test_patching_and_feature_cli(tmp_path, slide):
     with h5py.File(feat_dir / "h5_files" / "CASE1.h5") as f:
         assert f["features"].shape == (n, 1024)
         assert f["coords"].shape == (n, 2)
+
+
+def test_fetch_mag_patching_params(slide):
+    # ArraySlide has downsamples (1, 2, 4); level0 defaults to 40X.
+    # 20X -> custom_downsample 2 is a native level (index 1)
+    mag0, lvl, ps, ss, custom = wsi.fetch_mag_patching_params(
+        slide, mag_level=20, mpp=0.25)
+    assert (mag0, lvl, ps, ss, custom) == (40, 1, 256, 256, None)
+    # 5X -> downsample 8 not native: read at level 0 with 8x patch
+    mag0, lvl, ps, ss, custom = wsi.fetch_mag_patching_params(
+        slide, mag_level=5, mpp=0.25)
+    assert (lvl, ps, ss, custom) == (0, 2048, 2048, 8)
+    # mpp in 20X range
+    mag0, *_ = wsi.fetch_mag_patching_params(slide, mag_level=20, mpp=0.5)
+    assert mag0 == 20
