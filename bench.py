@@ -37,7 +37,8 @@ def _setup():
         "valid": np.ones(B, np.float32),
     }
     cfg = TrainConfig(model_type="path_attention_mil", mode="path",
-                      bag_loss="nll_surv", gate_path=True, batch_size=B)
+                      bag_loss="nll_surv", gate_path=True, batch_size=B,
+                      bag_dtype="bfloat16")
     model = build_model(cfg)
     tx = make_optimizer(cfg)
     train_step, _ = make_steps(cfg, model, tx)

@@ -10,6 +10,7 @@ batch adapters differ, the loop does not.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -97,13 +98,15 @@ def build_model(cfg: TrainConfig):
                       n_classes=cfg.n_classes)
     if cfg.model_type == "path_attention_mil":
         return PathAMIL(model_size=cfg.model_size_wsi, gate=cfg.gate_path,
-                        attn_dropout=cfg.drop_out, n_classes=cfg.n_classes)
+                        attn_dropout=cfg.drop_out, n_classes=cfg.n_classes,
+                        compute_dtype=cfg.bag_dtype)
     if cfg.model_type == "radio_attention_mil":
         return RadioAMIL(n_modalities=len(cfg.modalities),
                          radio_fusion=cfg.radio_fusion or "concat",
                          model_size=cfg.model_size_radio,
                          gate=cfg.gate_radio, attn_dropout=cfg.drop_out,
-                         n_classes=cfg.n_classes)
+                         n_classes=cfg.n_classes,
+                         compute_dtype=cfg.bag_dtype)
     if cfg.model_type == "mm_attention_mil":
         return MMAttentionMIL(mode=cfg.mode,
                               n_modalities=len(cfg.modalities),
@@ -203,7 +206,7 @@ def make_steps(cfg: TrainConfig, model, tx):
                                times=batch["t"], c=batch["c"],
                                valid=batch["valid"])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(variables, opt_state, batch, rng):
         params = variables["params"]
         rest = {k: v for k, v in variables.items() if k != "params"}

@@ -22,17 +22,24 @@ SIZE_DICT = {"small": (1024, 256, 256), "big": (1024, 512, 384)}
 
 class PathAMIL(nn.Module):
     """WSI bag -> FC(1024->256)+ReLU+Drop(.25) -> gated attention pool
-    -> Linear classifier (ref MIL_Attention_fc_surv_path:45-72)."""
+    -> Linear classifier (ref MIL_Attention_fc_surv_path:45-72).
+
+    ``compute_dtype``: dtype for the bag-sized matmuls (fc + attention
+    scoring); bfloat16 runs them on the MXU at full rate while params
+    stay float32 (pooled features and the classifier stay f32).
+    """
     model_size: str = "small"
     gate: bool = True
     attn_dropout: bool = False  # ref `dropout` arg
     n_classes: int = 4
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, bags, mask, deterministic: bool = True,
                  return_features: bool = False, attention_only: bool = False):
         size = SIZE_DICT[self.model_size]
-        h = jax.nn.relu(Dense(size[1], name="fc")(bags))
+        cdt = jnp.dtype(self.compute_dtype)
+        h = jax.nn.relu(Dense(size[1], name="fc", dtype=cdt)(bags))
         h = nn.Dropout(0.25, deterministic=deterministic)(h)
         pool = AttentionPool(D=size[2], gated=self.gate,
                              attn_dropout=self.attn_dropout,
@@ -40,7 +47,7 @@ class PathAMIL(nn.Module):
         if attention_only:
             _, attn, scores = pool(h, mask, deterministic, return_attn=True)
             return scores
-        M = pool(h, mask, deterministic)
+        M = pool(h, mask, deterministic).astype(jnp.float32)
         if return_features:
             return M
         logits = Dense(self.n_classes, name="classifier")(M)
@@ -72,15 +79,17 @@ class RadioAMIL(nn.Module):
     gate: bool = True
     attn_dropout: bool = False
     n_classes: int = 4
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, bags, mask, deterministic: bool = True,
                  return_features: bool = False, attention_only: bool = False):
         size = SIZE_DICT[self.model_size]
+        cdt = jnp.dtype(self.compute_dtype)
         B, N = bags.shape[0], bags.shape[1]
         if self.n_modalities > 1:
             if self.radio_fusion == "concat":
-                h = Dense(size[0], name="reduce_dim")(bags)
+                h = Dense(size[0], name="reduce_dim", dtype=cdt)(bags)
             elif self.radio_fusion == "tensor":
                 per_mod = bags.reshape(B * N, self.n_modalities, size[0])
                 v_list = [per_mod[:, m, :] for m in range(self.n_modalities)]
@@ -94,7 +103,7 @@ class RadioAMIL(nn.Module):
                 raise ValueError(self.radio_fusion)
         else:
             h = bags
-        h = jax.nn.relu(Dense(size[1], name="fc")(h))
+        h = jax.nn.relu(Dense(size[1], name="fc", dtype=cdt)(h))
         h = nn.Dropout(0.25, deterministic=deterministic)(h)
         pool = AttentionPool(D=size[2], gated=self.gate,
                              attn_dropout=self.attn_dropout,
@@ -102,7 +111,7 @@ class RadioAMIL(nn.Module):
         if attention_only:
             _, attn, scores = pool(h, mask, deterministic, return_attn=True)
             return scores
-        M = pool(h, mask, deterministic)
+        M = pool(h, mask, deterministic).astype(jnp.float32)
         if return_features:
             return M
         logits = Dense(self.n_classes, name="classifier")(M)

@@ -176,7 +176,10 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 1, D), h.dtype),
+        # f32 accumulate/output regardless of bag dtype (the unfused
+        # reference path also promotes to f32, keeping the custom VJP's
+        # primal/cotangent dtypes consistent)
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((1, D), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),

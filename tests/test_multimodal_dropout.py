@@ -41,10 +41,11 @@ def test_missing_radio_freezes_radio_branch(rng):
                                 deterministic=True,
                                 **model_inputs(cfg, jbatch)))
     opt_state = tx.init(variables["params"])
+    before = {k: np.asarray(v).copy()
+              for k, v in _leaf_paths(variables["params"]).items()}
     new_vars, _, out = train_step(variables, opt_state, jbatch,
                                   jax.random.PRNGKey(2))
 
-    before = _leaf_paths(variables["params"])
     after = _leaf_paths(new_vars["params"])
     changed_radio = changed_other = 0
     for k in before:
@@ -78,9 +79,10 @@ def test_all_present_trains_everything(rng):
                                 deterministic=True,
                                 **model_inputs(cfg, jbatch)))
     opt_state = tx.init(variables["params"])
+    before = {k: np.asarray(v).copy()
+              for k, v in _leaf_paths(variables["params"]).items()}
     new_vars, _, _ = train_step(variables, opt_state, jbatch,
                                 jax.random.PRNGKey(2))
-    before = _leaf_paths(variables["params"])
     after = _leaf_paths(new_vars["params"])
     n_changed = sum(
         0 if np.allclose(np.asarray(before[k]), np.asarray(after[k]))

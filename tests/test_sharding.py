@@ -114,9 +114,9 @@ def test_dp_train_step_multidevice(rng):
     variables = jax.device_put(variables, repl)
     jbatch = shard_batch(batch, mesh)
     jbatch.pop("subject_ids", None)
+    d0 = np.asarray(jax.tree.leaves(variables["params"])[0]).copy()
     new_vars, new_opt, out = train_step(variables, opt_state, jbatch,
                                         jax.random.PRNGKey(1))
     assert np.isfinite(float(out["loss"]))
-    d0 = jax.tree.leaves(variables["params"])[0]
     d1 = jax.tree.leaves(new_vars["params"])[0]
-    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    assert not np.allclose(d0, np.asarray(d1))
