@@ -86,6 +86,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset_root", type=str, default="dataset_csv",
                    help="root containing {cancer_type}/{task}.csv")
     p.add_argument("--splits_root", type=str, default="./splits")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="continue each fold from its last saved epoch")
     return p
 
 
@@ -182,7 +184,8 @@ def main(argv=None) -> int:
             model_size_radio=args.model_size_radio,
             model_size_omic=args.model_size_omic,
             omic_input_dim=omic_dim, seed=args.seed,
-            results_dir=results_dir, split_mode=args.split_mode)
+            results_dir=results_dir, split_mode=args.split_mode,
+            resume=args.resume)
         out = train_fold(splits, i, cfg)
         if args.split_mode == "train_val_test":
             val_df, val_c, test_df, test_c = out

@@ -67,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
     # rebuild-only knobs
     p.add_argument("--dataset_root", type=str, default="dataset_csv")
     p.add_argument("--splits_root", type=str, default="./splits")
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="continue each fold from its last saved epoch")
     return p
 
 
@@ -137,7 +139,7 @@ def main(argv=None) -> int:
             weighted_sample=args.weighted_sample, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
             train_type=args.train_type, n_layers=args.n_layers,
-            pretrained=True)
+            pretrained=True, resume=args.resume)
         out = train_fold(splits, i, cfg)
         if args.split_mode == "train_val_test":
             val_df, val_c, test_df, test_c = out

@@ -74,6 +74,7 @@ class TrainConfig:
     multimodal_dropout: bool = False
     # engine knobs (no reference equivalent)
     bag_dtype: str = "float32"
+    resume: bool = False             # continue a fold from its last epoch
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +456,7 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
                                 f"s_{cur}_minloss_checkpoint.msgpack")
     mid_ckpt = os.path.join(cfg.results_dir,
                             f"s_{cur}_mid_checkpoint.msgpack")
+    resume_path = os.path.join(cfg.results_dir, f"s_{cur}_resume.msgpack")
 
     if eval_only:
         variables = load_checkpoint(minloss_ckpt, variables)
@@ -476,8 +478,19 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
                              cfg.model_type, gated=gated)
                if cfg.early_stopping else None)
 
+    start_epoch = 0
+    if cfg.resume and os.path.exists(resume_path):
+        bundle = load_checkpoint(
+            resume_path, {"variables": variables, "opt_state": opt_state,
+                          "epoch": 0, "rng": np.asarray(rng)})
+        variables = bundle["variables"]
+        opt_state = bundle["opt_state"]
+        start_epoch = int(bundle["epoch"]) + 1
+        rng = jnp.asarray(bundle["rng"])
+        print(f"resuming fold {cur} from epoch {start_epoch}")
+
     stop = False
-    for epoch in range(cfg.max_epochs):
+    for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.time()
         variables, opt_state, rng, tr = _run_epoch(
             cfg, train_split, train_idx, variables, opt_state, train_step,
@@ -499,6 +512,12 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             save_checkpoint(mid_ckpt, variables,
                             None if cfg.pretrained else cfg.model_type,
                             gated)
+        # resume bundle: params + optimizer state + epoch + rng (the
+        # reference has no training resume at all, SURVEY.md §5)
+        save_checkpoint(resume_path, {"variables": variables,
+                                      "opt_state": opt_state,
+                                      "epoch": epoch,
+                                      "rng": np.asarray(rng)})
         if stopper is not None:
             stopper(epoch, va["loss"], variables, minloss_ckpt)
             if stopper.early_stop:

@@ -122,3 +122,27 @@ def test_refuses_overwrite(cohort):
             "--results_dir", str(cohort / "results_ow")]
     assert cli_main(argv + ["--overwrite"]) == 0  # first run succeeds
     assert cli_main(argv) == 1                    # rerun refuses
+
+
+def test_resume_continues_from_epoch(cohort, tmp_path):
+    """Kill training after 2 epochs, resume, and check the metrics log
+    continues from epoch 2 instead of restarting."""
+    import json
+    common = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+              "--k", "1", "--k_end", "1", "--model_type", "max_net",
+              "--mode", "omic", "--bag_loss", "cox_surv",
+              "--batch_size", "16", "--lr", "1e-3",
+              "--data_root_dir", str(cohort / "features"),
+              "--dataset_root", str(cohort / "dataset_csv"),
+              "--splits_root", str(cohort / "splits"),
+              "--results_dir", str(cohort / "results_resume"),
+              "--overwrite"]
+    assert cli_main(common + ["--max_epochs", "2"]) == 0
+    exp = next((cohort / "results_resume" / "brain" / "2foldcv").iterdir())
+    assert (exp / "s_0_resume.msgpack").exists()
+    assert cli_main(common + ["--max_epochs", "5", "--resume"]) == 0
+    lines = [json.loads(l) for l in
+             (exp / "0" / "metrics.jsonl").read_text().splitlines()]
+    epochs = [l["epoch"] for l in lines]
+    # first run wrote 0,1; resume continues 2,3,4 (no restart at 0)
+    assert epochs == [0, 1, 2, 3, 4]
