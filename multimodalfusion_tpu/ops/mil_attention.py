@@ -227,9 +227,15 @@ def _attention_pool_fwd(h, mask, params, gated):
 def _attention_pool_bwd(gated, res, g):
     h, mask, params = res
     # Rematerialized backward via XLA autodiff of the reference form.
-    _, vjp = jax.vjp(lambda hh, pp: _pool_reference(hh, mask, pp, gated),
-                     h, params)
-    dh, dparams = vjp(g)
+    # Run the recompute in the bag's dtype (bf16 bags would otherwise
+    # promote every backward matmul to f32 — ~4x slower on the MXU);
+    # parameter gradients are cast back to the parameter dtypes.
+    params_c = jax.tree.map(lambda p: p.astype(h.dtype), params)
+    primal, vjp = jax.vjp(
+        lambda hh, pp: _pool_reference(hh, mask, pp, gated), h, params_c)
+    dh, dparams_c = vjp(g.astype(primal.dtype))
+    dparams = jax.tree.map(lambda dp, p: dp.astype(p.dtype), dparams_c,
+                           params)
     return dh, None, dparams
 
 
