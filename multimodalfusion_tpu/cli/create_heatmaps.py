@@ -225,9 +225,43 @@ def run_radio_branch(cfg_ns) -> int:
                          "attention": float(scores[idx]),
                          "group": ("top" if rank < decile else
                                    "low" if rank >= n - decile else "mid")})
-    pd.DataFrame(rows).to_csv(os.path.join(save_dir, "scores.csv"),
-                              index=False)
+    scores_df = pd.DataFrame(rows)
+    scores_df.to_csv(os.path.join(save_dir, "scores.csv"), index=False)
     print(f"wrote slice attention scores -> {save_dir}/scores.csv")
+
+    # optional: re-preprocess raw scans and save top/low slice PNGs
+    # (ref create_heatmaps.py:604-659, heatmap_utils.radio_img :177-226)
+    scan_csv = getattr(d, "scan_list", None)
+    if scan_csv:
+        from multimodalfusion_tpu.data.radiology import \
+            preprocess_glioma_scan
+        scans = pd.read_csv(scan_csv).set_index("subject_id")
+        display_mod = getattr(d, "display_modality", modalities[0])
+        for subject, grp in scores_df.groupby("subject_id"):
+            if subject not in scans.index or \
+                    display_mod not in scans.columns:
+                continue
+            path = os.path.join(getattr(d, "scan_dir", "."),
+                                str(scans.loc[subject, display_mod]))
+            try:
+                slices, slice_ids = preprocess_glioma_scan(path)
+            except (OSError, ValueError) as e:
+                print(f"cannot render {subject}: {e}")
+                continue
+            id_to_slice = {int(s): i for i, s in enumerate(slice_ids)}
+            for group_name in ("top", "low"):
+                out_dir = ensure_dir(os.path.join(save_dir, subject,
+                                                  group_name))
+                sel = grp[grp.group == group_name]
+                for _, r in sel.iterrows():
+                    i = id_to_slice.get(int(r.slice_index))
+                    if i is None:
+                        continue
+                    img = (np.clip(slices[i], 0, 1) * 255).astype(np.uint8)
+                    cv2.imwrite(os.path.join(
+                        out_dir,
+                        f"slice{int(r.slice_index)}_"
+                        f"a{r.attention:.3f}.png"), img)
     return 0
 
 
@@ -281,6 +315,18 @@ def run_omic_branch(cfg_ns) -> int:
     }).sort_values("mean_abs_attr", ascending=False)
     global_df.to_csv(os.path.join(save_dir, "omic_attr_global.csv"),
                      index=False)
+    # global importance bar plot (stands in for the reference's SHAP
+    # summary plot, ref evaluation.py:1003-1141)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    top = global_df.head(20)[::-1]
+    fig, ax = plt.subplots(figsize=(6, max(3, 0.3 * len(top))))
+    ax.barh(top["gene"], top["mean_abs_attr"], color="tab:blue")
+    ax.set_xlabel("mean |IG attribution| (risk)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, "omic_attr_global.png"), dpi=150)
+    plt.close(fig)
     print(f"wrote omic attributions -> {save_dir}")
     return 0
 

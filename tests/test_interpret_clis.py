@@ -91,17 +91,33 @@ def test_heatmap_omic_branch(trained, tmp_path):
 
 
 def test_heatmap_radio_branch(trained, tmp_path):
+    from multimodalfusion_tpu.data.nifti import write_nifti
     b, df = trained
     exp = next((b / "s2r" / "brain" / "2foldcv").iterdir())
+    subjects = df["subject_id"].iloc[:3].tolist()
     plist = tmp_path / "subjects.csv"
-    pd.DataFrame({"subject_id": df["subject_id"].iloc[:3]}).to_csv(
-        plist, index=False)
+    pd.DataFrame({"subject_id": subjects}).to_csv(plist, index=False)
+    # raw scans so the CLI can render top/low slice PNGs
+    scan_dir = tmp_path / "scans"
+    os.makedirs(scan_dir)
+    rng = np.random.default_rng(0)
+    scan_rows = []
+    for s in subjects:
+        vol = rng.uniform(1, 90, size=(25, 24, 24)).astype(np.float32)
+        write_nifti(str(scan_dir / f"{s}.nii.gz"), vol,
+                    origin_lps=(0.0, -239.0, 0.0))
+        scan_rows.append({"subject_id": s, "T1": f"{s}.nii.gz"})
+    scan_list = tmp_path / "scan_list.csv"
+    pd.DataFrame(scan_rows).to_csv(scan_list, index=False)
     config = {
         "exp_arguments": {"branch": "radio",
                           "save_dir": str(tmp_path / "hm_radio")},
         "data_arguments": {"process_list": str(plist),
                            "feat_dir": str(b / "features" / "brain"),
-                           "modalities": ["T1", "T2", "T1Gd", "FLAIR"]},
+                           "modalities": ["T1", "T2", "T1Gd", "FLAIR"],
+                           "scan_list": str(scan_list),
+                           "scan_dir": str(scan_dir),
+                           "display_modality": "T1"},
         "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
     }
     cfg_path = tmp_path / "radio.yaml"
@@ -113,6 +129,9 @@ def test_heatmap_radio_branch(trained, tmp_path):
         set(scores.columns)
     assert set(scores["group"]) <= {"top", "mid", "low"}
     assert scores["subject_id"].nunique() == 3
+    # per-subject top/low slice PNG overlays rendered from raw scans
+    pngs = list((tmp_path / "hm_radio" / subjects[0] / "top").glob("*.png"))
+    assert len(pngs) >= 1
 
 
 def test_heatmap_path_branch(trained, tmp_path):
