@@ -91,8 +91,8 @@ def _pool_reference(h, mask, params: AttnParams, gated: bool):
 # ---------------------------------------------------------------------------
 
 def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
-                       wc_ref, cc_ref, out_ref, acc_ref, m_ref, l_ref, *,
-                       gated: bool):
+                       wc_ref, cc_ref, out_ref, ml_ref, acc_ref, m_ref,
+                       l_ref, *, gated: bool):
     """One (bag, tile) grid step of the online masked softmax pool.
 
     h_ref:   [1, TN, D] VMEM tile of the bag
@@ -114,16 +114,19 @@ def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
         m_ref[0, 0] = NEG_INF
         l_ref[0, 0] = 0.0
 
-    h = h_ref[0].astype(jnp.float32)          # [TN, D]
+    h = h_ref[0]                              # [TN, D], bag dtype
+    cdt = h.dtype                             # matmuls run in bag dtype
     mask = mask_ref[0].astype(jnp.float32)    # [1, TN]
 
-    a = jnp.tanh(jnp.dot(h, wa_ref[...], preferred_element_type=jnp.float32)
-                 + ba_ref[...])
+    a = jnp.tanh(jnp.dot(h, wa_ref[...].astype(cdt),
+                         preferred_element_type=jnp.float32) + ba_ref[...])
     if gated:
         b = jax.nn.sigmoid(
-            jnp.dot(h, wb_ref[...], preferred_element_type=jnp.float32)
-            + bb_ref[...])
+            jnp.dot(h, wb_ref[...].astype(cdt),
+                    preferred_element_type=jnp.float32) + bb_ref[...])
         a = a * b
+    # tiny [TN, Da] @ [Da, 1] projection stays f32 (mosaic can't lower
+    # the mixed-dtype matvec; cost is negligible)
     s = (jnp.dot(a, wc_ref[...], preferred_element_type=jnp.float32)
          + cc_ref[0, 0])
     s = s.reshape(1, -1)                       # [1, TN]
@@ -134,15 +137,17 @@ def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
     corr = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new) * (mask > 0)        # [1, TN]
     l_ref[0, 0] = l_ref[0, 0] * corr + jnp.sum(p)
-    # [1, TN] @ [TN, D] on the MXU
+    # [1, TN] @ [TN, D] on the MXU (weights cast to the bag dtype)
     acc_ref[...] = acc_ref[...] * corr + jnp.dot(
-        p, h, preferred_element_type=jnp.float32)
+        p.astype(cdt), h, preferred_element_type=jnp.float32)
     m_ref[0, 0] = m_new
 
     @pl.when(j == n_tiles - 1)
     def _finalize():
         out_ref[0] = (acc_ref[...] /
                       jnp.maximum(l_ref[0, 0], 1e-30)).astype(out_ref.dtype)
+        ml_ref[0, 0, 0] = m_ref[0, 0]
+        ml_ref[0, 0, 1] = l_ref[0, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -162,7 +167,7 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
 
     kernel = functools.partial(_fused_pool_kernel, gated=gated)
     grid = (B, n_tiles)
-    out = pl.pallas_call(
+    out, ml = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -175,11 +180,17 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
             pl.BlockSpec((Da, 1), lambda b, j: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
+        out_specs=(
+            pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
         # f32 accumulate/output regardless of bag dtype (the unfused
         # reference path also promotes to f32, keeping the custom VJP's
-        # primal/cotangent dtypes consistent)
-        out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+        # primal/cotangent dtypes consistent).  ml carries the softmax
+        # (max, normalizer) residuals for the fused backward.
+        out_shape=(jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, 2), jnp.float32)),
         scratch_shapes=[
             pltpu.VMEM((1, D), jnp.float32),
             pltpu.SMEM((1, 1), jnp.float32),
@@ -194,7 +205,171 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
     )(h, mask[:, None, :], params.Wa, params.ba.reshape(1, -1), params.Wb,
       params.bb.reshape(1, -1), params.wc,
       params.cc.reshape(1, 1).astype(jnp.float32))
-    return out[:, 0, :]
+    return out[:, 0, :], ml
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas backward: one pass over the bag computes dh and accumulates
+# every parameter gradient (the XLA rematerialized fallback reads the bag
+# three times and materializes [B, N, Da] intermediates).
+#
+# Math (per instance i, cotangent g in R^D):
+#   alpha_i = g . h_i ;  ds_i = a_i (alpha_i - g . out)
+#   dz_i = ds_i * wc ;  dpa_i = dz_i * u_i * (1 - t_i^2) (gated)
+#   dpb_i = dz_i * t_i * u_i (1 - u_i)
+#   dh_i = a_i g + dpa_i Wa^T + dpb_i Wb^T
+#   dWa += h_i^T dpa_i ;  dba += dpa_i ;  dwc += ds_i z_i ;  dcc += ds_i
+# ---------------------------------------------------------------------------
+
+def _fused_pool_bwd_kernel(h_ref, mask_ref, g_ref, out_ref, ml_ref,
+                           wa_ref, ba_ref, wb_ref, bb_ref, wc_row_ref,
+                           wat_ref, wbt_ref, cc_ref,
+                           dh_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
+                           dwc_ref, dcc_ref, *, gated: bool):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, j == 0))
+    def _init():
+        dwa_ref[...] = jnp.zeros_like(dwa_ref)
+        dba_ref[...] = jnp.zeros_like(dba_ref)
+        dwb_ref[...] = jnp.zeros_like(dwb_ref)
+        dbb_ref[...] = jnp.zeros_like(dbb_ref)
+        dwc_ref[...] = jnp.zeros_like(dwc_ref)
+        dcc_ref[...] = jnp.zeros_like(dcc_ref)
+
+    h = h_ref[0]                                # [TN, D], bag dtype
+    cdt = h.dtype
+    mask_col = jnp.transpose(mask_ref[0]).astype(jnp.float32)  # [TN, 1]
+    g = g_ref[0].astype(jnp.float32)            # [1, D]
+    out = out_ref[0].astype(jnp.float32)        # [1, D]
+    m = ml_ref[0, 0, 0]
+    l = jnp.maximum(ml_ref[0, 0, 1], 1e-30)
+    wc_row = wc_row_ref[...]                    # [1, Da]
+
+    t = jnp.tanh(jnp.dot(h, wa_ref[...].astype(cdt),
+                         preferred_element_type=jnp.float32) + ba_ref[...])
+    if gated:
+        u = jax.nn.sigmoid(
+            jnp.dot(h, wb_ref[...].astype(cdt),
+                    preferred_element_type=jnp.float32) + bb_ref[...])
+        z = t * u
+    else:
+        z = t
+    s = jnp.sum(z * wc_row, axis=1, keepdims=True) + cc_ref[0, 0]  # [TN,1]
+    # mask before the exp exactly like the forward — for an all-masked
+    # bag m is NEG_INF and unmasked s - m would overflow to inf * 0 = nan
+    s = jnp.where(mask_col > 0, s, NEG_INF)
+    a = jnp.exp(s - m) / l * mask_col            # [TN, 1]
+
+    # VPU multiply-reduce (mosaic cannot lower a bf16 (1,1)-contraction)
+    alpha = jnp.sum(h.astype(jnp.float32) * g, axis=1,
+                    keepdims=True)               # [TN, 1]
+    gout = jnp.sum(g * out)
+    ds = a * (alpha - gout)                      # [TN, 1]
+    dz = ds * wc_row                             # [TN, Da]
+    if gated:
+        dpa = dz * u * (1.0 - t * t)
+        dpb = dz * t * u * (1.0 - u)
+    else:
+        dpa = dz * (1.0 - t * t)
+        dpb = jnp.zeros_like(dz)
+
+    dpa_c = dpa.astype(cdt)
+    dpb_c = dpb.astype(cdt)
+    dh = a * g                                   # [TN, D]
+    dh = dh + jnp.dot(dpa_c, wat_ref[...].astype(cdt),
+                      preferred_element_type=jnp.float32)
+    if gated:
+        dh = dh + jnp.dot(dpb_c, wbt_ref[...].astype(cdt),
+                          preferred_element_type=jnp.float32)
+    dh_ref[0] = dh.astype(dh_ref.dtype)
+
+    dwa_ref[...] += jax.lax.dot_general(
+        h, dpa_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dba_ref[...] += jnp.sum(dpa, axis=0, keepdims=True)
+    if gated:
+        dwb_ref[...] += jax.lax.dot_general(
+            h, dpb_c, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbb_ref[...] += jnp.sum(dpb, axis=0, keepdims=True)
+    dwc_ref[...] += jnp.sum(z * ds, axis=0, keepdims=True)
+    dcc_ref[...] = dcc_ref[...] + jnp.sum(ds)  # [1,1] store (no scalars)
+
+
+def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
+                           gated: bool, tile_n: int = 512,
+                           interpret: bool = False):
+    B, N, D = h.shape
+    Da = params.Wa.shape[1]
+    tn = min(tile_n, _round_up(N, 128))
+    n_pad = _round_up(N, tn)
+    if n_pad != N:
+        h = jnp.pad(h, ((0, 0), (0, n_pad - N), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_pad - N)))
+    n_tiles = n_pad // tn
+
+    kernel = functools.partial(_fused_pool_bwd_kernel, gated=gated)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tn, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, tn), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((Da, D), lambda b, j: (0, 0)),
+            pl.BlockSpec((Da, D), lambda b, j: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tn, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, 1), lambda b, j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n_pad, D), h.dtype),
+            jax.ShapeDtypeStruct((D, Da), jnp.float32),
+            jax.ShapeDtypeStruct((1, Da), jnp.float32),
+            jax.ShapeDtypeStruct((D, Da), jnp.float32),
+            jax.ShapeDtypeStruct((1, Da), jnp.float32),
+            jax.ShapeDtypeStruct((1, Da), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * n_pad * D * (2 * Da if gated else Da),
+            bytes_accessed=2 * B * n_pad * D * h.dtype.itemsize,
+            transcendentals=B * n_pad * (2 * Da if gated else Da),
+        ),
+    )(h, mask[:, None, :], g.reshape(B, 1, D).astype(jnp.float32),
+      out.reshape(B, 1, D).astype(jnp.float32), ml,
+      params.Wa, params.ba.reshape(1, -1), params.Wb,
+      params.bb.reshape(1, -1), params.wc.reshape(1, -1),
+      params.Wa.T, params.Wb.T,
+      params.cc.reshape(1, 1).astype(jnp.float32))
+    dh, dwa, dba, dwb, dbb, dwc_row, dcc = outs
+    dh = dh[:, :N, :]
+    dparams = AttnParams(
+        Wa=dwa.astype(params.Wa.dtype),
+        ba=dba.reshape(-1).astype(params.ba.dtype),
+        Wb=dwb.astype(params.Wb.dtype),
+        bb=dbb.reshape(-1).astype(params.bb.dtype),
+        wc=dwc_row.reshape(-1, 1).astype(params.wc.dtype),
+        cc=dcc.reshape(1).astype(params.cc.dtype))
+    return dh, dparams
 
 
 # ---------------------------------------------------------------------------
@@ -215,21 +390,31 @@ def attention_pool(h, mask, params: AttnParams, gated: bool = True):
     Returns pooled [B, D].
     """
     if _use_pallas():
-        return _fused_pool_pallas(h, mask, params, gated)
+        return _fused_pool_pallas(h, mask, params, gated)[0]
     return _pool_reference(h, mask, params, gated)
 
 
 def _attention_pool_fwd(h, mask, params, gated):
-    out = attention_pool(h, mask, params, gated)
-    return out, (h, mask, params)
+    if _use_pallas():
+        out, ml = _fused_pool_pallas(h, mask, params, gated)
+        return out, (h, mask, params, out, ml)
+    out = _pool_reference(h, mask, params, gated)
+    return out, (h, mask, params, None, None)
+
+
+# Toggle for the fused Pallas backward (vs XLA rematerialized autodiff).
+USE_FUSED_BACKWARD = True
 
 
 def _attention_pool_bwd(gated, res, g):
-    h, mask, params = res
-    # Rematerialized backward via XLA autodiff of the reference form.
-    # Run the recompute in the bag's dtype (bf16 bags would otherwise
-    # promote every backward matmul to f32 — ~4x slower on the MXU);
-    # parameter gradients are cast back to the parameter dtypes.
+    h, mask, params, out, ml = res
+    if USE_FUSED_BACKWARD and ml is not None and _use_pallas():
+        dh, dparams = _fused_pool_bwd_pallas(h, mask, params, out, ml, g,
+                                             gated)
+        return dh, None, dparams
+    # CPU fallback: rematerialized backward via XLA autodiff of the
+    # reference form, recomputed in the bag's dtype (bf16 bags would
+    # otherwise promote every backward matmul to f32).
     params_c = jax.tree.map(lambda p: p.astype(h.dtype), params)
     primal, vjp = jax.vjp(
         lambda hh, pp: _pool_reference(hh, mask, pp, gated), h, params_c)

@@ -29,7 +29,7 @@ def test_pallas_matches_reference(rng, gated):
     h, mask, params = make_inputs(rng)
     ref = mil._pool_reference(h, mask, params, gated)
     out = mil._fused_pool_pallas(h, mask, params, gated, tile_n=128,
-                                 interpret=True)
+                                 interpret=True)[0]
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -37,7 +37,7 @@ def test_pallas_matches_reference(rng, gated):
 def test_pallas_tiling_invariance(rng):
     h, mask, params = make_inputs(rng, B=2, N=512, D=64, Da=32)
     outs = [mil._fused_pool_pallas(h, mask, params, True, tile_n=tn,
-                                   interpret=True)
+                                   interpret=True)[0]
             for tn in (128, 256, 512)]
     for o in outs[1:]:
         np.testing.assert_allclose(np.asarray(o), np.asarray(outs[0]),
@@ -88,9 +88,9 @@ def test_padding_is_ignored(rng):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5,
                                atol=1e-7)
     p1 = mil._fused_pool_pallas(h, mask, params, True, tile_n=128,
-                                interpret=True)
+                                interpret=True)[0]
     p2 = mil._fused_pool_pallas(h2, mask2, params, True, tile_n=128,
-                                interpret=True)
+                                interpret=True)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-5,
                                atol=2e-5)
 
@@ -101,7 +101,7 @@ def test_fully_masked_bag_pools_to_zero(rng):
     out = mil._pool_reference(h, mask, params, True)
     assert np.allclose(np.asarray(out[1]), 0.0)
     outp = mil._fused_pool_pallas(h, mask, params, True, tile_n=64,
-                                  interpret=True)
+                                  interpret=True)[0]
     assert np.allclose(np.asarray(outp[1]), 0.0, atol=1e-6)
 
 
@@ -111,3 +111,62 @@ def test_attn_distribution_sums_to_one(rng):
     sums = np.asarray(jnp.sum(attn, axis=1))
     np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
     assert np.all(np.asarray(attn) * (1 - np.asarray(mask)) == 0)
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_fused_backward_matches_reference(rng, gated):
+    """The fused Pallas backward must reproduce XLA autodiff of the
+    reference form: dh and every parameter gradient."""
+    h, mask, params = make_inputs(rng, B=3, N=300, D=64, Da=32)
+    g = jnp.array(rng.normal(size=(3, 64)).astype(np.float32))
+
+    out, ml = mil._fused_pool_pallas(h, mask, params, gated, tile_n=128,
+                                     interpret=True)
+    dh, dparams = mil._fused_pool_bwd_pallas(h, mask, params, out, ml, g,
+                                             gated, tile_n=128,
+                                             interpret=True)
+    _, vjp = jax.vjp(lambda hh, pp: mil._pool_reference(hh, mask, pp,
+                                                        gated), h, params)
+    dh_ref, dparams_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dh), np.asarray(dh_ref),
+                               rtol=2e-4, atol=2e-5)
+    for name in dparams._fields:
+        a = np.asarray(getattr(dparams, name))
+        b = np.asarray(getattr(dparams_ref, name))
+        if not gated and name in ("Wb", "bb"):
+            continue  # unused in ungated mode
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"grad {name}")
+
+
+def test_fused_backward_bf16(rng):
+    h, mask, params = make_inputs(rng, B=2, N=200, D=64, Da=32)
+    hb = h.astype(jnp.bfloat16)
+    g = jnp.array(rng.normal(size=(2, 64)).astype(np.float32))
+    out, ml = mil._fused_pool_pallas(hb, mask, params, True, tile_n=128,
+                                     interpret=True)
+    dh, dparams = mil._fused_pool_bwd_pallas(hb, mask, params, out, ml, g,
+                                             True, tile_n=128,
+                                             interpret=True)
+    assert dh.dtype == jnp.bfloat16
+    _, vjp = jax.vjp(lambda hh, pp: mil._pool_reference(hh, mask, pp, True),
+                     h, params)
+    dh_ref, dparams_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dh, dtype=np.float32),
+                               np.asarray(dh_ref), rtol=0.05, atol=0.02)
+    np.testing.assert_allclose(np.asarray(dparams.Wa),
+                               np.asarray(dparams_ref.Wa), rtol=0.05,
+                               atol=0.02)
+
+
+def test_fused_backward_empty_bag(rng):
+    h, mask, params = make_inputs(rng, B=2, N=128, D=32, Da=16)
+    mask = mask.at[1].set(0.0)
+    g = jnp.ones((2, 32), jnp.float32)
+    out, ml = mil._fused_pool_pallas(h, mask, params, True, tile_n=128,
+                                     interpret=True)
+    dh, dparams = mil._fused_pool_bwd_pallas(h, mask, params, out, ml, g,
+                                             True, tile_n=128,
+                                             interpret=True)
+    assert np.all(np.isfinite(np.asarray(dh)))
+    assert np.allclose(np.asarray(dh[1]), 0.0)
