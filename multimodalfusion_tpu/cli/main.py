@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--splits_root", type=str, default="./splits")
     p.add_argument("--resume", action="store_true", default=False,
                    help="continue each fold from its last saved epoch")
+    p.add_argument("--eval_only", action="store_true", default=False,
+                   help="evaluate existing minloss checkpoints instead of "
+                        "training (ref core_utils.py eval_mode :109-127)")
     return p
 
 
@@ -119,6 +122,8 @@ def main(argv=None) -> int:
     ensure_dir(args.results_dir)
     results_dir = ensure_dir(os.path.join(args.results_dir,
                                           args.which_splits, exp_code))
+    if args.eval_only:
+        args.overwrite = True  # evaluation never clobbers training outputs
     if "summary.csv" in os.listdir(results_dir) and not args.overwrite:
         print(f"Exp Code <{exp_code}> already exists! Exiting script. "
               "set --overwrite or rename using --test")
@@ -186,7 +191,7 @@ def main(argv=None) -> int:
             omic_input_dim=omic_dim, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
             resume=args.resume)
-        out = train_fold(splits, i, cfg)
+        out = train_fold(splits, i, cfg, eval_only=args.eval_only)
         if args.split_mode == "train_val_test":
             val_df, val_c, test_df, test_c = out
             test_cindex.append(test_c)
@@ -205,6 +210,8 @@ def main(argv=None) -> int:
         print(f"Average test c_index: {np.mean(test_cindex)}")
     save_name = ("summary.csv" if len(folds) == args.k else
                  f"summary_partial_{start_fold}_{end_fold}.csv")
+    if args.eval_only:
+        save_name = "eval_" + save_name
     cols = {"folds": folds, "val_cindex": val_cindex}
     if args.split_mode == "train_val_test":
         cols["test_cindex"] = test_cindex

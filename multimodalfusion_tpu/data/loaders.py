@@ -37,7 +37,9 @@ def usable_indices(split: Split) -> List[int]:
 
 def _batch_from_samples(samples: List[Sample], mode: str, pretrained: bool,
                         batch_size: int, n_radio_feat: int,
-                        n_path_feat: int = 1024) -> Dict[str, np.ndarray]:
+                        n_path_feat: int = 1024,
+                        reuse_buffers: bool = True
+                        ) -> Dict[str, np.ndarray]:
     B = batch_size
     n = len(samples)
     batch: Dict[str, np.ndarray] = {
@@ -70,11 +72,11 @@ def _batch_from_samples(samples: List[Sample], mode: str, pretrained: bool,
         # reuse-mode is safe: the engine device-puts each batch before the
         # loader builds the next one
         batch["radio_bags"], batch["radio_mask"] = pad_bags(
-            bags, n_radio_feat, reuse_buffers=True)
+            bags, n_radio_feat, reuse_buffers=reuse_buffers)
     if "path" in mode:
         bags = [s.path for s in samples] + [None] * (B - n)
         batch["path_bags"], batch["path_mask"] = pad_bags(
-            bags, n_path_feat, reuse_buffers=True)
+            bags, n_path_feat, reuse_buffers=reuse_buffers)
     if "omic" in mode:
         G = next((s.omic.shape[0] for s in samples if s.omic is not None), 1)
         arr = np.zeros((B, G), np.float32)
@@ -88,7 +90,9 @@ def _batch_from_samples(samples: List[Sample], mode: str, pretrained: bool,
 def iter_batches(split: Split, batch_size: int = 1, shuffle: bool = False,
                  weighted: bool = False, seed: int = 0,
                  indices: Optional[List[int]] = None,
-                 drop_last: bool = False) -> Iterator[Dict[str, np.ndarray]]:
+                 drop_last: bool = False,
+                 reuse_collation_buffers: bool = True
+                 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield fixed-shape batches.  ``weighted`` replicates the reference's
     WeightedRandomSampler over (bin, censorship) classes
     (ref utils/utils.py:116-117)."""
@@ -113,4 +117,39 @@ def iter_batches(split: Split, batch_size: int = 1, shuffle: bool = False,
             return
         samples = [split.get_sample(i) for i in chunk]
         yield _batch_from_samples(samples, ds.mode, ds.pretrained,
-                                  batch_size, n_radio_feat)
+                                  batch_size, n_radio_feat,
+                                  reuse_buffers=reuse_collation_buffers)
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Background-thread prefetch: overlap host-side batch assembly (file
+    IO + collation) with device compute.  The reference relies on torch
+    DataLoader workers for this (ref utils/utils.py:112); here a single
+    daemon thread feeds a bounded queue.
+
+    NOTE: pass ``reuse_collation_buffers=False`` to iter_batches when
+    wrapping it here — the worker thread collates batch n+1 into the
+    pooled buffer while the consumer may still hold batch n.
+    """
+    import queue
+    import threading
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface loader errors to consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

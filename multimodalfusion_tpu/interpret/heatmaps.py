@@ -91,6 +91,28 @@ def dynamic_k(bag_size: int, frac: float = 0.005, floor: int = 200) -> int:
     return max(int(bag_size * frac), floor)
 
 
+def patch_mosaic(patches: np.ndarray, n_cols: int = 5, gap: int = 2,
+                 downscale: int = 1) -> np.ndarray:
+    """Assemble sampled patches into a grid canvas (the reference's
+    Mosaic_Canvas, util_classes.py:6-46)."""
+    if len(patches) == 0:
+        return np.full((8, 8, 3), 245, np.uint8)
+    ps = patches.shape[1] // downscale
+    if downscale > 1:
+        patches = np.stack([cv2.resize(p, (ps, ps)) for p in patches])
+    n = len(patches)
+    n_rows = (n + n_cols - 1) // n_cols
+    H = n_rows * ps + (n_rows + 1) * gap
+    W = n_cols * ps + (n_cols + 1) * gap
+    canvas = np.full((H, W, 3), 245, np.uint8)
+    for i, p in enumerate(patches):
+        r, c = divmod(i, n_cols)
+        y = gap + r * (ps + gap)
+        x = gap + c * (ps + gap)
+        canvas[y:y + ps, x:x + ps] = p[..., :3]
+    return canvas
+
+
 def compute_fine_scores(slide, tissue, holes, embedder, score_fn,
                         patch_size: int = 256, overlap: float = 0.75,
                         patch_level: int = 0, chunk: int = 512):

@@ -140,3 +140,31 @@ def test_weighted_sampling_balances(store):
     w = split.class_weights()
     assert w.shape == (len(df),)
     assert np.all(w > 0)
+
+
+def test_prefetch_iterator(store):
+    from multimodalfusion_tpu.data.loaders import iter_batches, prefetch
+    root, csv_path, df = store
+    ds = SurvivalDataset(csv_path, mode="omic", data_dir=root, n_bins=4)
+    split = ds.whole_split()
+    direct = list(iter_batches(split, batch_size=8))
+    fetched = list(prefetch(
+        iter_batches(split, batch_size=8, reuse_collation_buffers=False),
+        depth=2))
+    assert len(fetched) == len(direct)
+    np.testing.assert_array_equal(fetched[0]["genomic"],
+                                  direct[0]["genomic"])
+
+
+def test_prefetch_propagates_errors():
+    from multimodalfusion_tpu.data.loaders import prefetch
+
+    def boom():
+        yield 1
+        raise RuntimeError("loader died")
+
+    it = prefetch(boom(), depth=1)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="loader died"):
+        next(it)

@@ -1,0 +1,50 @@
+"""Radiology GradCAM CLI end-to-end: NIfTI scan + trained radio AMIL ->
+per-slice overlays + CAM volume."""
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_cohort_csv, make_feature_store, make_splits
+
+from multimodalfusion_tpu.cli.gradcam import main as gc_main
+from multimodalfusion_tpu.cli.main import main as s2_main
+from multimodalfusion_tpu.data.nifti import read_nifti, write_nifti
+
+
+def test_gradcam_cli(tmp_path):
+    b = tmp_path
+    csv_path, df, latent = make_cohort_csv(
+        str(b / "dataset_csv" / "brain"), n=20, seed=4)
+    make_feature_store(str(b / "features" / "brain"), df, latent, seed=4,
+                       bag_range=(5, 12))
+    make_splits(str(b / "splits" / "brain" / "1fold"), df, k=1)
+    rc = s2_main(["--cancer_type", "brain", "--which_splits", "1fold",
+                  "--k", "1", "--max_epochs", "1",
+                  "--model_type", "radio_attention_mil", "--mode", "radio",
+                  "--radio_fusion", "concat", "--bag_loss", "nll_surv",
+                  "--batch_size", "4",
+                  "--data_root_dir", str(b / "features"),
+                  "--dataset_root", str(b / "dataset_csv"),
+                  "--splits_root", str(b / "splits"),
+                  "--results_dir", str(b / "res"), "--overwrite"])
+    assert rc == 0
+    exp = next((b / "res" / "brain" / "1fold").iterdir())
+
+    rng = np.random.default_rng(0)
+    vol = np.zeros((8, 96, 96), np.float32)
+    vol[1:7, 16:80, 16:80] = rng.uniform(5, 90, size=(6, 64, 64))
+    scan = str(b / "scan.nii.gz")
+    write_nifti(scan, vol, origin_lps=(0.0, -239.0, 0.0))
+
+    rc = gc_main(["--scan", scan, "--ckpt_path", str(exp),
+                  "--which_k", "0", "--modality", "T1",
+                  "--save_dir", str(b / "cam"), "--image_size", "96",
+                  "--top_frac", "0.4"])
+    assert rc == 0
+    cam_vol = read_nifti(str(b / "cam" / "cam_volume.nii.gz"))
+    assert cam_vol.data.shape[0] == 6  # one CAM per kept slice
+    assert np.isfinite(cam_vol.data).all()
+    assert 0.0 <= cam_vol.data.max() <= 1.0 + 1e-5
+    pngs = list((b / "cam").glob("slice*.png"))
+    assert len(pngs) >= 2  # top 40% of 6 slices

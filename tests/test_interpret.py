@@ -159,3 +159,18 @@ def test_summarize_experiments(tmp_path):
     assert len(df) == 2
     a = df[df.experiment == "EXP_A"].iloc[0]
     assert a["val_cindex_mean"] == pytest.approx(0.725)
+
+
+def test_patch_mosaic():
+    rng = np.random.default_rng(0)
+    patches = rng.integers(0, 256, size=(7, 32, 32, 3), dtype=np.uint8)
+    canvas = heatmaps.patch_mosaic(patches, n_cols=3, gap=2)
+    # 3 rows x 3 cols of 32px + gaps
+    assert canvas.shape == (3 * 32 + 4 * 2, 3 * 32 + 4 * 2, 3)
+    np.testing.assert_array_equal(canvas[2:34, 2:34], patches[0])
+    # downscale path
+    c2 = heatmaps.patch_mosaic(patches, n_cols=4, downscale=2)
+    assert c2.shape[0] < canvas.shape[0]
+    # empty
+    assert heatmaps.patch_mosaic(np.zeros((0, 8, 8, 3), np.uint8)).shape \
+        == (8, 8, 3)

@@ -146,3 +146,23 @@ def test_resume_continues_from_epoch(cohort, tmp_path):
     epochs = [l["epoch"] for l in lines]
     # first run wrote 0,1; resume continues 2,3,4 (no restart at 0)
     assert epochs == [0, 1, 2, 3, 4]
+
+
+def test_eval_only_reuses_checkpoints(cohort):
+    """--eval_only loads minloss checkpoints and reproduces the trained
+    fold's val c-index without training."""
+    common = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+              "--k", "1", "--k_end", "1", "--model_type", "max_net",
+              "--mode", "omic", "--bag_loss", "cox_surv",
+              "--batch_size", "16", "--lr", "1e-3",
+              "--data_root_dir", str(cohort / "features"),
+              "--dataset_root", str(cohort / "dataset_csv"),
+              "--splits_root", str(cohort / "splits"),
+              "--results_dir", str(cohort / "results_evalonly")]
+    assert cli_main(common + ["--max_epochs", "4", "--overwrite"]) == 0
+    exp = next((cohort / "results_evalonly" / "brain" / "2foldcv").iterdir())
+    trained = pd.read_csv(exp / "summary.csv")
+    assert cli_main(common + ["--eval_only"]) == 0
+    evaled = pd.read_csv(exp / "eval_summary.csv")
+    np.testing.assert_allclose(evaled["val_cindex"].values,
+                               trained["val_cindex"].values, rtol=1e-6)
