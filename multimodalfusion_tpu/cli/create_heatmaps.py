@@ -93,6 +93,14 @@ def run_path_branch(cfg_ns) -> int:
     save_dir = ensure_dir(cfg_ns.exp_arguments.save_dir)
 
     process_df = pd.read_csv(d.process_list)
+    # model/checkpoint are bag-length independent: load ONCE with a dummy
+    # template instead of re-deserializing per slide
+    dummy = {"path_bags": np.zeros((1, 128, 1024), np.float32),
+             "path_mask": np.ones((1, 128), np.float32),
+             "Y": np.zeros(1, np.int32), "t": np.zeros(1, np.float32),
+             "c": np.zeros(1, np.float32), "valid": np.ones(1, np.float32)}
+    model, variables, cfg, settings = _load_model(
+        m, dummy, which_k=getattr(m, "which_k", 0))
     for _, row in process_df.iterrows():
         slide_file = row["slide_id"]
         stem = os.path.splitext(slide_file)[0]
@@ -103,14 +111,6 @@ def run_path_branch(cfg_ns) -> int:
             coords = f["coords"][:]
         bag = jnp.asarray(feats)[None]
         mask = jnp.ones((1, bag.shape[1]), jnp.float32)
-        batch_template = {"path_bags": np.asarray(bag),
-                          "path_mask": np.asarray(mask)}
-        model, variables, cfg, settings = _load_model(
-            m, {"path_bags": np.asarray(bag), "path_mask": np.asarray(mask),
-                "Y": np.zeros(1, np.int32), "t": np.zeros(1, np.float32),
-                "c": np.zeros(1, np.float32),
-                "valid": np.ones(1, np.float32)},
-            which_k=getattr(m, "which_k", 0))
         scores = np.asarray(model.apply(
             variables, bags=bag, mask=mask, deterministic=True,
             attention_only=True))[0]

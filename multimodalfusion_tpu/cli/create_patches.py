@@ -77,6 +77,11 @@ def process_one(slide, args, patch_dir, mask_dir, stitch_dir,
             seg_kwargs[k] = getattr(args, k)
     seg_kwargs.update({k: params[k] for k in params
                        if k in seg_kwargs and not pd.isna(params[k])})
+    used_params = dict(seg_kwargs)
+    used_params["contour_fn"] = params.get(
+        "contour_fn", getattr(args, "contour_fn",
+                              DEFAULT_PATCH_PARAMS["contour_fn"]))
+    seg_kwargs = dict(seg_kwargs)
     seg_level = seg_kwargs.pop("seg_level")
     if seg_level in (-1, None):
         seg_level = slide.level_count - 1
@@ -89,14 +94,13 @@ def process_one(slide, args, patch_dir, mask_dir, stitch_dir,
         slide, tissue, holes, save_path=patch_dir,
         patch_level=args.patch_level, patch_size=args.patch_size,
         step_size=args.step_size,
-        contour_fn=params.get("contour_fn",
-                              DEFAULT_PATCH_PARAMS["contour_fn"]))
+        contour_fn=used_params["contour_fn"])
     if args.stitch and len(coords):
         canvas = wsi_mod.stitch_coords(slide, coords, args.patch_level,
                                        args.patch_size)
         cv2.imwrite(os.path.join(stitch_dir, f"{slide.name}_stitch.jpg"),
                     cv2.cvtColor(canvas, cv2.COLOR_RGB2BGR))
-    return len(coords)
+    return len(coords), used_params
 
 
 def main(argv=None) -> int:
@@ -126,16 +130,18 @@ def main(argv=None) -> int:
         t0 = time.time()
         try:
             slide = wsi_mod.open_slide(path)
-            n = process_one(slide, args, patch_dir, mask_dir, stitch_dir,
-                            params)
+            n, used = process_one(slide, args, patch_dir, mask_dir,
+                                  stitch_dir, params)
             status = "processed"
             print(f"{name}: {n} patches in {time.time() - t0:.1f}s")
         except Exception as e:
-            n, status = 0, f"failed: {e}"
+            n, status, used = 0, f"failed: {e}", {}
             print(f"FAILED {name}: {e}")
+        # record the parameters that were ACTUALLY used for this slide so
+        # a rerun from the autogen list reproduces the same segmentation
         rows.append({"slide_id": name, "status": status, "n_patches": n,
-                     **DEFAULT_SEG_PARAMS, **DEFAULT_FILTER_PARAMS,
-                     **DEFAULT_PATCH_PARAMS})
+                     **{**DEFAULT_SEG_PARAMS, **DEFAULT_FILTER_PARAMS,
+                        **DEFAULT_PATCH_PARAMS, **used}})
     pd.DataFrame(rows).to_csv(
         os.path.join(args.save_dir, "process_list_autogen.csv"), index=False)
     return 0

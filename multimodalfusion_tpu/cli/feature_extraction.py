@@ -44,6 +44,16 @@ def build_parser():
     return p
 
 
+def _resolve_scan(radio_dir: str, subject: str, fname: str) -> str:
+    """Reference layout is radio_dir/<subject>/<filename>
+    (ref feature_extraction.py:135,187); fall back to radio_dir/<filename>
+    for flat layouts."""
+    nested = os.path.join(radio_dir, str(subject), str(fname))
+    if os.path.exists(nested):
+        return nested
+    return os.path.join(radio_dir, str(fname))
+
+
 def _write_outputs(h5_path: str, pt_path: str, features: np.ndarray,
                    slice_index: np.ndarray):
     save_hdf5(h5_path, {"features": features.astype(np.float32),
@@ -79,7 +89,7 @@ def main(argv=None) -> int:
                 t0 = time.time()
                 try:
                     slices, slice_ids = preprocess_glioma_scan(
-                        os.path.join(args.radio_dir, str(fname)))
+                        _resolve_scan(args.radio_dir, subject, fname))
                     feats = embedder.embed_slices(slices)
                     _write_outputs(h5_path, pt_path, feats, slice_ids)
                     print(f"{subject}/{modality}: {feats.shape[0]} slices "
@@ -101,7 +111,7 @@ def main(argv=None) -> int:
             t0 = time.time()
             try:
                 slices, slice_ids = preprocess_lung_scan(
-                    os.path.join(args.radio_dir, str(scan_dir)),
+                    _resolve_scan(args.radio_dir, subject, scan_dir),
                     segment_each_slice=args.segment)
                 feats = embedder.embed_slices(slices)
                 _write_outputs(h5_path, pt_path, feats, slice_ids)

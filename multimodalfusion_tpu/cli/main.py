@@ -184,6 +184,7 @@ def main(argv=None) -> int:
             early_stopping=args.early_stopping,
             weighted_sample=args.weighted_sample, drop_out=args.drop_out,
             gate_path=args.gate_path, gate_radio=args.gate_radio,
+            gate=args.gate_omic,
             fusion=args.fusion, radio_fusion=args.radio_fusion,
             model_size_wsi=args.model_size_wsi,
             model_size_radio=args.model_size_radio,

@@ -312,11 +312,14 @@ class SurvivalDataset:
                         val_ids = np.append(val_ids, single_ids)
                     else:
                         train_ids = np.append(train_ids, single_ids)
-                pad = len(train_ids) - len(val_ids)
-                val_col = np.append(val_ids.astype(object),
-                                    np.repeat(np.nan, max(pad, 0)))
-                outs.append(pd.DataFrame({"train": train_ids,
-                                          "val": val_col[:len(train_ids)]}))
+                # pad BOTH columns to a common length — never drop subjects
+                n = max(len(train_ids), len(val_ids))
+
+                def _pad(ids):
+                    return np.append(ids.astype(object),
+                                     np.repeat(np.nan, n - len(ids)))
+                outs.append(pd.DataFrame({"train": _pad(train_ids),
+                                          "val": _pad(val_ids)}))
             return outs
 
         if split == "threemod":
@@ -330,9 +333,15 @@ class SurvivalDataset:
                 test_subjects = list(np.unique(
                     test_threemod.subject_id.values))
                 for i, sp in enumerate(splits):
-                    col = (test_subjects
-                           + [np.nan] * (len(sp) - len(test_subjects)))
-                    sp["test"] = col[:len(sp)]
+                    if len(test_subjects) > len(sp):
+                        # grow the frame rather than dropping test subjects
+                        extra = len(test_subjects) - len(sp)
+                        pad_df = pd.DataFrame(
+                            {c: [np.nan] * extra for c in sp.columns})
+                        sp = pd.concat([sp, pad_df], ignore_index=True)
+                        splits[i] = sp
+                    sp["test"] = (test_subjects
+                                  + [np.nan] * (len(sp) - len(test_subjects)))
         elif split == "pre_trained":
             if self.mode == "radio":
                 sub = df.dropna(subset=self.modalities)

@@ -377,13 +377,14 @@ def fetch_mag_patching_params(slide, mag_level: int = 40,
     level0_mag = -1
     if 0 <= mpp < 0.3:
         level0_mag = 40
-    elif mpp < 0.6:
+    elif 0 <= mpp < 0.6:
         level0_mag = 20
     if level0_mag <= 0:
         level0_mag = 40  # sensible default when properties are absent
     all_ds = [round(xy[0], dec_prec) if dec_prec >= 0 else xy[0]
               for xy in slide.level_downsamples]
-    custom = int(level0_mag / mag_level)
+    # requesting a magnification above level 0 is impossible; read level 0
+    custom = max(int(level0_mag / mag_level), 1)
     if custom in all_ds:
         return (level0_mag, all_ds.index(custom), patch_size, step_size,
                 None)

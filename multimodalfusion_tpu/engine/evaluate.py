@@ -31,7 +31,10 @@ def compute_ibs(train_event, train_time, test_event, test_time, S_bins,
         times[0] = test_time.min() + 0.001
     if times[-1] >= test_time.max():
         times[-1] = test_time.max() - 0.001
-    est = metrics_mod.survival_probs_at_times(S_bins, np.asarray(bins), times)
+    # survival columns pair with the grid POSITIONALLY, exactly as the
+    # reference passes all_surv to sksurv (column k <-> times[k]) — the
+    # edge clamps above must not shift which column is used.
+    est = np.asarray(S_bins, np.float64)
     return float(metrics_mod.integrated_brier_score(
         train_event, train_time, test_event, test_time, est, times))
 

@@ -178,46 +178,3 @@ class XlinearFusion(nn.Module):
         out = jax.nn.relu(Dense(self.mmhid2, name="encoder2")(out))
         out = nn.Dropout(self.dropout_rate, deterministic=deterministic)(out)
         return out
-
-
-# ---------------------------------------------------------------------------
-# Attention nets over bags (ref Attn_Net / Attn_Net_Gated,
-# model_modules.py:70-110) — scoring only; pooling is ops.mil_attention.
-# ---------------------------------------------------------------------------
-
-class AttnScore(nn.Module):
-    """Attention logits for a bag [B, N, L] -> [B, N].
-
-    gated=True: tanh(x Wa) * sigmoid(x Wb) -> Dense(1)
-    gated=False: tanh(x Wa) -> Dense(1)
-    Dropout(0.25) on the branch activations when enabled (ref :97-99).
-    """
-    D: int = 256
-    gated: bool = True
-    dropout: bool = False
-
-    @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        a = jnp.tanh(Dense(self.D, name="attention_a")(x))
-        if self.dropout:
-            a = nn.Dropout(0.25, deterministic=deterministic)(a)
-        if self.gated:
-            b = jax.nn.sigmoid(Dense(self.D, name="attention_b")(x))
-            if self.dropout:
-                b = nn.Dropout(0.25, deterministic=deterministic)(b)
-            a = a * b
-        s = Dense(1, name="attention_c")(a)
-        return s[..., 0]
-
-    def as_attn_params(self, params):
-        """View this module's bound params as an ops.mil_attention
-        AttnParams tuple (for the fused kernel)."""
-        from multimodalfusion_tpu.ops.mil_attention import AttnParams
-        p = params
-        wa, ba = p["attention_a"]["kernel"], p["attention_a"]["bias"]
-        if self.gated:
-            wb, bb = p["attention_b"]["kernel"], p["attention_b"]["bias"]
-        else:
-            wb, bb = jnp.zeros_like(wa), jnp.zeros_like(ba)
-        wc, cc = p["attention_c"]["kernel"], p["attention_c"]["bias"]
-        return AttnParams(Wa=wa, ba=ba, Wb=wb, bb=bb, wc=wc, cc=cc)

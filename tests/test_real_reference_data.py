@@ -48,3 +48,24 @@ def test_real_brain_omics_training_beats_chance(tmp_path):
                 "5foldcv_gbmlgg_german_omics_omic").iterdir())
     df = pd.read_csv(exp / "summary_partial_0_1.csv")
     assert df["val_cindex"].iloc[0] > 0.65, df
+
+
+def test_do_split_on_real_cohort(tmp_path):
+    """Split generation against the real brain cohort: threemod uses the
+    held-out (train==0) German subjects as the test column; pre_trained
+    excludes three-modality subjects (ref do_split :173-243)."""
+    from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
+    ds = SurvivalDataset(BRAIN_CSV, mode="omic", data_dir=None, n_bins=4)
+    splits = ds.do_split("threemod", str(tmp_path / "threemod"), k=5)
+    assert len(splits) == 5
+    f0 = pd.read_csv(tmp_path / "threemod" / "splits_0.csv")
+    assert {"train", "val", "test"} <= set(f0.columns)
+    # test column holds the held-out German three-modality subjects
+    assert f0["test"].dropna().str.startswith("sfb").all()
+    assert not set(f0.train.dropna()) & set(f0.val.dropna())
+
+    ds.do_split("pre_trained", str(tmp_path / "pre"), k=5)
+    p0 = pd.read_csv(tmp_path / "pre" / "splits_0.csv")
+    threemod_subjects = set(f0.train.dropna()) | set(f0.val.dropna())
+    pre_subjects = set(p0.train.dropna()) | set(p0.val.dropna())
+    assert not pre_subjects & threemod_subjects  # disjoint by design

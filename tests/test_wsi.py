@@ -163,3 +163,16 @@ def test_fetch_mag_patching_params(slide):
     # mpp in 20X range
     mag0, *_ = wsi.fetch_mag_patching_params(slide, mag_level=20, mpp=0.5)
     assert mag0 == 20
+
+
+def test_fetch_mag_params_absent_mpp(slide):
+    """No mpp metadata must default to 40X, never emit zero-sized
+    patches (regression for the mpp=-1 sentinel falling into the 20X
+    branch)."""
+    mag0, lvl, ps, ss, custom = wsi.fetch_mag_patching_params(slide,
+                                                              mag_level=20)
+    assert mag0 == 40 and ps > 0 and ss > 0
+    # requesting above level-0 magnification falls back to level 0
+    mag0, lvl, ps, ss, custom = wsi.fetch_mag_patching_params(
+        slide, mag_level=40, mpp=0.5)  # 20X slide, 40X requested
+    assert lvl == 0 and ps == 256 and custom is None
