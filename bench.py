@@ -107,14 +107,17 @@ def bench_reference_style(setup, iters=8):
         opt_state1 = tx1.init(variables1["params"])
         v, o, _ = train_step1(variables1, opt_state1, b1, key)
         _sync(jax, v)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            v, o, out = train_step1(v, o, b1, jax.random.fold_in(key, i))
-        _sync(jax, v)
-        dt = time.perf_counter() - t0
+        best = 0.0
+        for _ in range(3):  # best-of-3, matching bench_batched
+            t0 = time.perf_counter()
+            for i in range(iters):
+                v, o, out = train_step1(v, o, b1,
+                                        jax.random.fold_in(key, i))
+            _sync(jax, v)
+            best = max(best, iters / (time.perf_counter() - t0))
     finally:
         mil._use_pallas = orig
-    return iters / dt
+    return best
 
 
 def bench_resnet_extraction(batch_size=256, iters=40, dtype=None):

@@ -41,22 +41,32 @@ def build_parser():
 
 def extract_slide(slide, coords_h5: str, embedder: Embedder,
                   target_patch_size: int):
+    """Stream patches through the embedder, overlapping host-side patch
+    reads/decodes with device compute via the prefetching iterator (the
+    reference relies on torch DataLoader workers for the same overlap,
+    ref dataset_h5.py:95 + extract_features_fp)."""
+    from multimodalfusion_tpu.data.loaders import prefetch
     with h5py.File(coords_h5, "r") as f:
         coords = f["coords"][:]
         patch_level = int(f["coords"].attrs.get("patch_level", 0))
         patch_size = int(f["coords"].attrs.get("patch_size", 256))
     feats = np.zeros((len(coords), 1024), np.float32)
     B = embedder.batch_size
-    for start in range(0, len(coords), B):
-        chunk = coords[start:start + B]
-        patches = wsi_mod.read_patches(slide, chunk, patch_level,
-                                       patch_size)
-        if patch_size != target_patch_size:
-            import cv2
-            patches = np.stack([
-                cv2.resize(p, (target_patch_size, target_patch_size))
-                for p in patches])
-        feats[start:start + len(chunk)] = embedder.embed_images(patches)
+
+    def chunks():
+        for start in range(0, len(coords), B):
+            chunk = coords[start:start + B]
+            patches = wsi_mod.read_patches(slide, chunk, patch_level,
+                                           patch_size)
+            if patch_size != target_patch_size:
+                import cv2
+                patches = np.stack([
+                    cv2.resize(p, (target_patch_size, target_patch_size))
+                    for p in patches])
+            yield start, len(chunk), patches
+
+    for start, n, patches in prefetch(chunks(), depth=2):
+        feats[start:start + n] = embedder.embed_images(patches)
     return feats, coords
 
 

@@ -88,8 +88,8 @@ def pad_bags_native(bags: List[Optional[np.ndarray]], n_pad: int,
         if b is None or b.shape[0] == 0:
             ptrs[i], lens[i] = None, 0
             continue
-        if b.dtype != np.float32 or not b.flags.c_contiguous or \
-                b.shape[1] != feat_dim:
+        if (b.ndim != 2 or b.dtype != np.float32
+                or not b.flags.c_contiguous or b.shape[1] != feat_dim):
             return None
         keepalive.append(b)
         ptrs[i] = b.ctypes.data_as(ctypes.c_void_p)

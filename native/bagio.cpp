@@ -66,6 +66,13 @@ void mmf_f32_to_bf16(const float* src, uint16_t* dst, int64_t n,
         for (int64_t i = i0; i < i1; ++i) {
             uint32_t bits;
             std::memcpy(&bits, &src[i], 4);
+            if ((bits & 0x7F800000u) == 0x7F800000u &&
+                (bits & 0x007FFFFFu) != 0u) {
+                // NaN: preserve sign, emit quiet NaN (the RNE add would
+                // otherwise overflow payload-only NaNs into Inf or 0)
+                dst[i] = (uint16_t)(((bits >> 16) & 0x8000u) | 0x7FC0u);
+                continue;
+            }
             uint32_t lsb = (bits >> 16) & 1u;
             bits += 0x7FFFu + lsb;  // RNE
             dst[i] = (uint16_t)(bits >> 16);

@@ -84,20 +84,28 @@ def make_pretrained_store(root, df, risk_latent, seed=0):
 
 
 def make_splits(root, df, k=2, val_frac=0.3, seed=0, test_frac=0.0):
+    """Disjoint rotating folds from one permutation (every subject is
+    validated exactly once across folds, like real k-fold split files);
+    columns are padded to a common length, never truncated."""
     rng = np.random.default_rng(seed)
     ensure_dir(root)
-    subjects = df["subject_id"].values
+    perm = rng.permutation(df["subject_id"].values)
+    n = len(perm)
+    n_val = max(int(n * val_frac), 1)
+    n_test = int(n * test_frac)
+    test = perm[:n_test]          # fixed held-out test set
+    pool = perm[n_test:]
     for i in range(k):
-        perm = rng.permutation(subjects)
-        n_val = int(len(perm) * val_frac)
-        n_test = int(len(perm) * test_frac)
-        val = perm[:n_val]
-        test = perm[n_val:n_val + n_test]
-        train = perm[n_val + n_test:]
-        cols = {"train": train,
-                "val": np.append(val, [np.nan] * (len(train) - len(val)))}
+        lo = (i * n_val) % max(len(pool) - n_val + 1, 1)
+        val = pool[lo:lo + n_val]
+        train = np.array([s for s in pool if s not in set(val)])
+        width = max(len(train), len(val), len(test))
+
+        def pad(ids):
+            return np.append(ids.astype(object),
+                             [np.nan] * (width - len(ids)))
+        cols = {"train": pad(train), "val": pad(val)}
         if test_frac:
-            cols["test"] = np.append(test,
-                                     [np.nan] * (len(train) - len(test)))
+            cols["test"] = pad(test)
         pd.DataFrame(cols).to_csv(os.path.join(root, f"splits_{i}.csv"),
                                   index=False)

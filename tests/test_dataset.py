@@ -168,3 +168,22 @@ def test_prefetch_propagates_errors():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="loader died"):
         next(it)
+
+
+def test_make_splits_disjoint_folds(tmp_path):
+    """Fixture splits: every subject validated exactly once across folds;
+    small-train configurations must not crash or drop subjects."""
+    from fixtures import make_cohort_csv, make_splits
+    _, df, _ = make_cohort_csv(str(tmp_path), n=20, seed=5)
+    make_splits(str(tmp_path / "sp"), df, k=3, val_frac=0.3, seed=5)
+    vals = []
+    for i in range(3):
+        f = pd.read_csv(tmp_path / "sp" / f"splits_{i}.csv")
+        assert not set(f.train.dropna()) & set(f.val.dropna())
+        vals.append(set(f.val.dropna()))
+    # disjoint val sets across folds
+    assert not (vals[0] & vals[1]) and not (vals[1] & vals[2])
+    # val larger than train must not crash (previously ValueError)
+    make_splits(str(tmp_path / "sp2"), df, k=1, val_frac=0.6, seed=5)
+    f = pd.read_csv(tmp_path / "sp2" / "splits_0.csv")
+    assert len(set(f.val.dropna())) == 12

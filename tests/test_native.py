@@ -122,3 +122,26 @@ def test_buffer_reuse_correctness(lib, rng):
     np.testing.assert_array_equal(o2[0, :7], b2[0])
     assert m2[0].sum() == 7
     assert o2[0, 7:].sum() == 0  # stale rows cleared
+
+
+def test_f32_to_bf16_nan_preserved(lib):
+    """NaN payloads must stay NaN (not launder into Inf/0 via the RNE
+    add)."""
+    import ml_dtypes
+    x = np.array([np.float32("nan"), -np.float32("nan"), np.inf, -np.inf],
+                 np.float32)
+    # payload-only NaNs that overflow a naive rounding add
+    tricky = np.array([0x7F800001, 0xFFFFFFFF], np.uint32).view(np.float32)
+    x = np.concatenate([x, tricky])
+    out = native.f32_to_bf16(x)
+    assert np.isnan(out[0].astype(np.float32))
+    assert np.isnan(out[1].astype(np.float32))
+    assert out[2].astype(np.float32) == np.inf
+    assert out[3].astype(np.float32) == -np.inf
+    assert np.isnan(out[4].astype(np.float32))
+    assert np.isnan(out[5].astype(np.float32))
+
+
+def test_pad_bags_native_rejects_1d(lib):
+    assert native.pad_bags_native([np.zeros(16, np.float32)], 128, 16) \
+        is None
