@@ -124,7 +124,8 @@ def summarize_experiments(results_root: str,
     for dirpath, _, files in os.walk(results_root):
         if pattern in files:
             df = pd.read_csv(os.path.join(dirpath, pattern))
-            row = {"experiment": os.path.basename(dirpath)}
+            row = {"experiment": os.path.relpath(
+                dirpath, results_root).replace(os.sep, "__")}
             for col in df.columns:
                 if col.endswith("cindex") or col.endswith("ibs"):
                     row[f"{col}_mean"] = float(np.nanmean(df[col]))

@@ -157,7 +157,8 @@ def test_summarize_experiments(tmp_path):
             d / "summary.csv")
     df = analysis.summarize_experiments(str(tmp_path))
     assert len(df) == 2
-    a = df[df.experiment == "EXP_A"].iloc[0]
+    a = df[df.experiment.str.endswith("EXP_A")].iloc[0]
+    assert a["experiment"] == "brain__5foldcv__EXP_A"
     assert a["val_cindex_mean"] == pytest.approx(0.725)
 
 
@@ -174,3 +175,31 @@ def test_patch_mosaic():
     # empty
     assert heatmaps.patch_mosaic(np.zeros((0, 8, 8, 3), np.uint8)).shape \
         == (8, 8, 3)
+
+
+def test_summarize_cli(tmp_path):
+    import os
+    import pandas as pd
+    from multimodalfusion_tpu.cli.summarize import main as sm
+    from multimodalfusion_tpu.data.io import save_pkl
+    rng = np.random.default_rng(3)
+    d = tmp_path / "res" / "brain" / "5cv" / "EXP"
+    os.makedirs(d)
+    pd.DataFrame({"folds": [0, 1], "val_cindex": [0.7, 0.72]}).to_csv(
+        d / "summary.csv")
+    n = 40
+    risk = rng.normal(size=n)
+    res = {"subject_id": np.array([f"S{i}" for i in range(n)]),
+           "risk": risk,
+           "survival": np.exp(2.5 - risk + 0.2 * rng.normal(size=n)),
+           "censorship": np.zeros(n), "disc_label": np.zeros(n)}
+    save_pkl(str(d / "split_train_val_0_results.pkl"), res)
+    rc = sm(["--results_root", str(tmp_path / "res"),
+             "--save_dir", str(tmp_path / "rep"), "--km",
+             "--bootstrap", "50"])
+    assert rc == 0
+    cv = pd.read_csv(tmp_path / "rep" / "cv_summary.csv")
+    assert cv.iloc[0]["val_cindex_mean"] == pytest.approx(0.71)
+    rg = pd.read_csv(tmp_path / "rep" / "risk_group_stats.csv")
+    assert rg.iloc[0]["logrank_p"] < 0.05
+    assert (tmp_path / "rep").glob("*_km.png")
