@@ -39,7 +39,11 @@ class MaxNet(nn.Module):
                 x, deterministic)
         if return_features:
             return x
-        if "nll" in self.bag_loss:
+        # hazard-family losses (nll/ce) need per-bin logits; cox/ranking a
+        # scalar.  The reference keys on 'nll' only (model_genomic.py:33),
+        # which leaves ce_surv with a scalar head and crashes its own
+        # training loop — fixed deliberately here.
+        if "nll" in self.bag_loss or "ce" in self.bag_loss:
             logits = Dense(self.n_classes, name="classifier")(x)
             out = survival_outputs(logits)
         else:

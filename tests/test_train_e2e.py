@@ -166,3 +166,15 @@ def test_eval_only_reuses_checkpoints(cohort):
     evaled = pd.read_csv(exp / "eval_summary.csv")
     np.testing.assert_allclose(evaled["val_cindex"].values,
                                trained["val_cindex"].values, rtol=1e-6)
+
+
+def test_maxnet_ce_surv_trains(cohort):
+    """ce_surv with max_net must train (the reference crashes: scalar
+    head + hazard-family loss)."""
+    out_root = _run(cohort, ["--model_type", "max_net", "--mode", "omic",
+                             "--bag_loss", "ce_surv", "--batch_size", "16",
+                             "--max_epochs", "4", "--lr", "1e-3",
+                             "--test", "ce"], results_sub="results_ce")
+    exp = next(out_root.iterdir())
+    summary = pd.read_csv(exp / "summary.csv")
+    assert np.isfinite(summary["val_cindex"]).all()
