@@ -89,8 +89,14 @@ def eval_model(datasets, cur: int, cfg: TrainConfig, bins,
     variables = load_checkpoint(ckpt, variables)
 
     if "nll" in cfg.bag_loss:
-        survival_train = summary_survival_ibs(cfg, train_split, variables,
-                                              eval_step, bins, None)
+        # (event, time) for the censoring distribution are dataset labels;
+        # no forward pass over the training cohort is needed (the
+        # reference runs full inference here, core_utils_pretrained:455)
+        tr_idx = usable_indices(train_split)
+        tr_df = train_split.df.iloc[tr_idx]
+        survival_train = (
+            (1 - tr_df["censorship"].to_numpy(float)).astype(bool),
+            tr_df[train_split.ds.label_col].to_numpy(float))
     else:
         survival_train = None
 

@@ -185,6 +185,21 @@ def _reg_fn(cfg: TrainConfig):
 # ---------------------------------------------------------------------------
 
 def make_steps(cfg: TrainConfig, model, tx):
+    if cfg.bag_loss in ("ranking_surv", "ranking_nll_surv") \
+            and cfg.batch_size < 2:
+        # the ranking term has no comparable pairs at B=1 — training
+        # would silently be a zero-gradient no-op (the reference raises
+        # the same way, loss_utils.py:60-61)
+        raise ValueError(
+            f"{cfg.bag_loss} requires batch_size >= 2 "
+            f"(got {cfg.batch_size}); the pairwise ranking term is "
+            "identically zero for single-sample batches")
+    if (cfg.multimodal_dropout or cfg.train_type == "multimodal-dropout") \
+            and cfg.gc > 1:
+        raise ValueError(
+            "multimodal-dropout freeze masking is incompatible with "
+            "gradient accumulation (gc > 1): the aggregated update would "
+            "be masked by only the final microbatch's modality presence")
     loss_spec = make_loss_spec(cfg)
     reg_fn = _reg_fn(cfg)
 
@@ -333,8 +348,8 @@ def save_checkpoint(path: str, variables, model_type: str = None,
             from multimodalfusion_tpu.utils.torch_interop import export_pt
             export_pt(path.replace(".msgpack", ".pt"), model_type,
                       variables["params"], gated=gated)
-        except Exception:
-            pass
+        except Exception as e:  # export is best-effort but never silent
+            print(f"WARNING: reference .pt export failed for {path}: {e}")
 
 
 def load_checkpoint(path: str, variables_template):
@@ -479,15 +494,28 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
                if cfg.early_stopping else None)
 
     start_epoch = 0
+    es_state = None
     if cfg.resume and os.path.exists(resume_path):
         bundle = load_checkpoint(
             resume_path, {"variables": variables, "opt_state": opt_state,
-                          "epoch": 0, "rng": np.asarray(rng)})
+                          "epoch": 0, "rng": np.asarray(rng),
+                          "es_best": np.float64(0.0),
+                          "es_counter": 0,
+                          "es_val_loss_min": np.float64(np.inf),
+                          "es_has_best": 0})
         variables = bundle["variables"]
         opt_state = bundle["opt_state"]
         start_epoch = int(bundle["epoch"]) + 1
         rng = jnp.asarray(bundle["rng"])
+        es_state = bundle
         print(f"resuming fold {cur} from epoch {start_epoch}")
+    if stopper is not None and es_state is not None \
+            and int(es_state.get("es_has_best", 0)):
+        # restore the stopper so resume cannot clobber the saved best
+        # checkpoint with worse post-resume weights
+        stopper.best_score = float(es_state["es_best"])
+        stopper.counter = int(es_state["es_counter"])
+        stopper.val_loss_min = float(es_state["es_val_loss_min"])
 
     stop = False
     for epoch in range(start_epoch, cfg.max_epochs):
@@ -512,17 +540,24 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             save_checkpoint(mid_ckpt, variables,
                             None if cfg.pretrained else cfg.model_type,
                             gated)
-        # resume bundle: params + optimizer state + epoch + rng (the
-        # reference has no training resume at all, SURVEY.md §5)
-        save_checkpoint(resume_path, {"variables": variables,
-                                      "opt_state": opt_state,
-                                      "epoch": epoch,
-                                      "rng": np.asarray(rng)})
         if stopper is not None:
             stopper(epoch, va["loss"], variables, minloss_ckpt)
             if stopper.early_stop:
                 print("Early stopping")
                 stop = True
+        # resume bundle: params + optimizer state + epoch + rng +
+        # early-stopping state (the reference has no training resume)
+        save_checkpoint(resume_path, {
+            "variables": variables, "opt_state": opt_state,
+            "epoch": epoch, "rng": np.asarray(rng),
+            "es_best": np.float64(stopper.best_score
+                                  if stopper and stopper.best_score
+                                  is not None else 0.0),
+            "es_counter": int(stopper.counter) if stopper else 0,
+            "es_val_loss_min": np.float64(stopper.val_loss_min
+                                          if stopper else np.inf),
+            "es_has_best": int(bool(stopper
+                                    and stopper.best_score is not None))})
         if stop:
             break
 

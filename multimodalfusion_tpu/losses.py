@@ -95,9 +95,15 @@ def cox_loss(risks, times, c, valid=None):
     times = times.reshape(-1)
     # R[i, j] = 1 iff t_j >= t_i and j is a valid sample
     R = (times[None, :] >= times[:, None]).astype(theta.dtype) * v[None, :]
-    # log sum_j exp(theta_j) * R_ij, stably
-    shifted = theta[None, :] - jnp.max(theta)
-    lse = jnp.log(jnp.sum(jnp.exp(shifted) * R, axis=1) + 1e-30) + jnp.max(theta)
+    # log sum_j exp(theta_j) * R_ij, stably; the max shift must ignore
+    # padded rows or an extreme padded risk underflows every valid term
+    theta_masked = jnp.where(v > 0, theta, -jnp.inf)
+    m = jnp.max(theta_masked)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    # exp of padded rows must be exactly 0 BEFORE the R multiply, or an
+    # extreme padded risk yields inf * 0 = nan in the sum
+    shifted = theta_masked[None, :] - m
+    lse = jnp.log(jnp.sum(jnp.exp(shifted) * R, axis=1) + 1e-30) + m
     per_sample = -(theta - lse) * (1.0 - c)
     # Reference takes a plain mean over the batch (censored rows contribute 0
     # to the numerator but still count in the denominator).

@@ -19,7 +19,11 @@ from multimodalfusion_tpu.models.modules import Dense, Highway, Residual, \
 
 
 def _is_nll(bag_loss: str) -> bool:
-    return "nll_surv" in (bag_loss or "")
+    """Hazard-family losses (nll/ce) need per-bin logits.  The reference
+    keys on 'nll_surv' only, leaving ce_surv with a scalar head its own
+    loss cannot consume — fixed deliberately (same fix as MaxNet)."""
+    bl = bag_loss or ""
+    return "nll_surv" in bl or "ce" in bl
 
 
 class UnimodalPretrained(nn.Module):

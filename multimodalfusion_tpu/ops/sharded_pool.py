@@ -55,8 +55,8 @@ def sharded_attention_pool(h, mask, params: AttnParams, gated: bool,
     return fn(h, mask, params)
 
 
-def make_bag_sharded_forward(model_apply, mesh: Mesh, axis: str = "bag"):
-    """Utility: device_put helpers for a bag-sharded forward pass."""
+def bag_sharded_put(mesh: Mesh, axis: str = "bag"):
+    """device_put helper placing (h, mask) with the bag axis sharded."""
     def put(h, mask):
         h = jax.device_put(h, NamedSharding(mesh, P(None, axis, None)))
         mask = jax.device_put(mask, NamedSharding(mesh, P(None, axis)))

@@ -173,3 +173,19 @@ def test_l1_reg():
     params = {"a": jnp.array([1.0, -2.0]), "b": {"w": jnp.array([[3.0]])}}
     assert float(losses.l1_reg(params)) == 6.0
     assert float(losses.l1_reg_subtree(params, ("b",))) == 3.0
+
+
+def test_cox_padded_extreme_risk_is_ignored(rng):
+    """A huge risk value in a padded (valid=0) row must not corrupt the
+    masked Cox loss (regression: unmasked max-shift underflow)."""
+    risks = np.array([0.1, -0.4, 0.3, 0.2, -0.1, 0.5], np.float32)
+    t = rng.uniform(1, 50, 6).astype(np.float32)
+    c = np.zeros(6, np.float32)
+    base = losses.cox_loss(jnp.array(risks), jnp.array(t), jnp.array(c))
+    padded_r = np.concatenate([risks, [100.0, -100.0]]).astype(np.float32)
+    padded_t = np.concatenate([t, [1.0, 2.0]]).astype(np.float32)
+    padded_c = np.concatenate([c, [0.0, 0.0]]).astype(np.float32)
+    valid = np.array([1] * 6 + [0, 0], np.float32)
+    padded = losses.cox_loss(jnp.array(padded_r), jnp.array(padded_t),
+                             jnp.array(padded_c), valid=jnp.array(valid))
+    np.testing.assert_allclose(float(padded), float(base), rtol=1e-5)

@@ -164,3 +164,21 @@ def test_models_jit_and_grad(rng):
     leaves = jax.tree.leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+@pytest.mark.parametrize("train_type", ["fcnn", "early-fcnn"])
+def test_pretrained_heads_ce_surv_emit_hazards(rng, train_type):
+    """ce_surv must get per-bin logits in the pretrained heads too
+    (regression: reference keys on 'nll_surv' only and crashes)."""
+    B = 4
+    hs = {f"h_{m}": jnp.array(rng.normal(size=(B, 256)).astype(np.float32))
+          for m in ("radio", "path", "omic")}
+    if train_type == "fcnn":
+        model = UnimodalPretrained(mode="omic", train_type="fcnn",
+                                   bag_loss="ce_surv")
+    else:
+        model = MultimodalPretrained(mode="radio_path_omic",
+                                     train_type="early-fcnn",
+                                     bag_loss="ce_surv")
+    _, out = _init_apply(model, **hs)
+    assert out["hazards"] is not None and out["hazards"].shape == (B, 4)

@@ -178,3 +178,12 @@ def test_maxnet_ce_surv_trains(cohort):
     exp = next(out_root.iterdir())
     summary = pd.read_csv(exp / "summary.csv")
     assert np.isfinite(summary["val_cindex"]).all()
+
+
+def test_ranking_loss_rejects_batch_one(cohort):
+    """ranking losses at batch_size=1 must fail loudly, not silently
+    train with zero gradients."""
+    with pytest.raises(ValueError, match="batch_size >= 2"):
+        _run(cohort, ["--model_type", "max_net", "--mode", "omic",
+                      "--bag_loss", "ranking_surv", "--batch_size", "1",
+                      "--max_epochs", "1"], results_sub="results_rank1")
