@@ -38,25 +38,17 @@ def preprocess_glioma_scan(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return final.astype(np.float32), slice_ids
 
 
-def preprocess_lung_scan(path: str, segment_each_slice: bool = False
-                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """DICOM series dir -> (slices [N, H, W] in [0, 1], slice ids).
-
-    Mirrors ref dataset_raw.py:51-93: HU conversion, orientation fix-ups,
-    resample to [1, 1.5, 1.5] mm, lung segmentation + bounding-box crop,
-    window-normalize (-1000, 400), drop black slices.
-    """
-    slices = ct.load_scan(path)
-    if slices is None:
-        return np.zeros((0, 1, 1), np.float32), np.zeros(0, np.int64)
-    img_hu = ct.get_pixels_hu(slices)
-    img_hu = ct.apply_orientation_fixes(
-        img_hu, [s.ImageOrientationPatient for s in slices])
+def preprocess_lung_volume(img_hu: np.ndarray, spacing_zyx,
+                           segment_each_slice: bool = False
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """HU volume [Z, Y, X] + spacing -> (slices [N, H, W] in [0, 1],
+    slice ids).  The DICOM-independent core of the lung pipeline (ref
+    dataset_raw.py:76-93): resample to [1, 1.5, 1.5] mm, lung
+    segmentation + bounding-box crop, window-normalize (-1000, 400),
+    drop black slices."""
+    img_hu = np.asarray(img_hu).copy()
     img_hu[img_hu < -1000] = -1000
-    spacing = (float(slices[0].SliceThickness),
-               float(slices[0].PixelSpacing[0]),
-               float(slices[0].PixelSpacing[1]))
-    resampled, _ = ct.resample(img_hu, spacing, (1.0, 1.5, 1.5))
+    resampled, _ = ct.resample(img_hu, spacing_zyx, (1.0, 1.5, 1.5))
     segmentation = ct.lung_mask(resampled)
     if segment_each_slice:
         segmented = np.array([ct.lung_box(resampled[i], segmentation[i])[0]
@@ -69,6 +61,30 @@ def preprocess_lung_scan(path: str, segment_each_slice: bool = False
                           if np.count_nonzero(normalized[i]) > 0],
                          dtype=np.int64)
     return normalized[slice_ids].astype(np.float32), slice_ids
+
+
+def preprocess_lung_scan(path: str, segment_each_slice: bool = False
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """DICOM series dir -> (slices [N, H, W] in [0, 1], slice ids).
+
+    Mirrors ref dataset_raw.py:51-93: HU conversion, orientation fix-ups,
+    then the DICOM-independent ``preprocess_lung_volume`` core.
+    NIfTI lung scans are also accepted (path ending .nii/.nii.gz).
+    """
+    if str(path).endswith((".nii", ".nii.gz")):
+        img = read_nifti(path)
+        return preprocess_lung_volume(img.data, img.spacing_zyx,
+                                      segment_each_slice)
+    slices = ct.load_scan(path)
+    if slices is None:
+        return np.zeros((0, 1, 1), np.float32), np.zeros(0, np.int64)
+    img_hu = ct.get_pixels_hu(slices)
+    img_hu = ct.apply_orientation_fixes(
+        img_hu, [s.ImageOrientationPatient for s in slices])
+    spacing = (float(slices[0].SliceThickness),
+               float(slices[0].PixelSpacing[0]),
+               float(slices[0].PixelSpacing[1]))
+    return preprocess_lung_volume(img_hu, spacing, segment_each_slice)
 
 
 def slices_to_rgb(slices: np.ndarray) -> np.ndarray:

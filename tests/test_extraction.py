@@ -134,3 +134,38 @@ def test_feature_extraction_cli(tmp_path):
     pt = tmp_path / "out" / "glioma" / "radio_pt_files" / "T1" / "S1.pt"
     np.testing.assert_allclose(load_pt(str(pt)), feats, rtol=1e-6)
     assert not (tmp_path / "out" / "glioma" / "not_processed.pkl").exists()
+
+
+def _synthetic_lung_hu(z=12, h=72, w=72, seed=0):
+    """HU volume: outside air border, tissue body, two air lungs."""
+    vol = np.full((z, h, w), 40, np.int16)       # soft tissue
+    vol[:, :4, :] = -1000                        # outside air
+    vol[:, -4:, :] = -1000
+    vol[:, :, :4] = -1000
+    vol[:, :, -4:] = -1000
+    vol[2:10, 20:52, 12:32] = -850               # left lung
+    vol[2:10, 20:52, 40:60] = -850               # right lung
+    return vol
+
+
+def test_preprocess_lung_volume():
+    from multimodalfusion_tpu.data.radiology import preprocess_lung_volume
+    vol = _synthetic_lung_hu()
+    slices, ids = preprocess_lung_volume(vol, (2.0, 1.0, 1.0))
+    assert slices.shape[0] > 0
+    assert slices.min() >= 0.0 and slices.max() <= 1.0
+    # crop tightened around the lungs: narrower than the full resampled
+    # width (72/1.5 = 48)
+    assert slices.shape[2] < 48
+    assert np.all(np.diff(ids) > 0)
+
+
+def test_preprocess_lung_scan_from_nifti(tmp_path):
+    """Lung path end-to-end from a NIfTI CT (no pydicom needed)."""
+    from multimodalfusion_tpu.data.radiology import preprocess_lung_scan
+    vol = _synthetic_lung_hu().astype(np.float32)
+    p = str(tmp_path / "ct.nii.gz")
+    write_nifti(p, vol, pixdim=(1.0, 1.0, 2.0))
+    slices, ids = preprocess_lung_scan(p)
+    assert slices.shape[0] > 0
+    assert 0.0 <= slices.min() and slices.max() <= 1.0
