@@ -177,12 +177,6 @@ class LossSpec:
     def uses_hazards(self) -> bool:
         return self.name in ("nll_surv", "ce_surv", "ranking_nll_surv")
 
-    @property
-    def risk_from_survival(self) -> bool:
-        """True if risk = -sum(S) (nll family); False if risk = model scalar
-        output (cox/ranking) — ref core_utils.py:202-208."""
-        return self.uses_hazards
-
     def apply(self, *, hazards=None, S=None, risks=None, Y=None, times=None,
               c=None, valid=None):
         if self.name == "nll_surv":

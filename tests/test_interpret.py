@@ -203,3 +203,14 @@ def test_summarize_cli(tmp_path):
     rg = pd.read_csv(tmp_path / "rep" / "risk_group_stats.csv")
     assert rg.iloc[0]["logrank_p"] < 0.05
     assert (tmp_path / "rep").glob("*_km.png")
+
+
+def test_all_clis_expose_help():
+    """Every CLI module builds its parser (import/flag smoke)."""
+    import importlib
+    for m in ("main", "main_pretrained", "eval_pretrained",
+              "pre_trained_feature", "feature_extraction",
+              "extract_features_fp", "create_patches", "create_heatmaps",
+              "create_attributions", "gradcam", "summarize"):
+        mod = importlib.import_module(f"multimodalfusion_tpu.cli.{m}")
+        assert mod.build_parser().format_help()
