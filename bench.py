@@ -120,7 +120,7 @@ def bench_reference_style(setup, iters=8):
     return best
 
 
-def bench_resnet_extraction(batch_size=256, iters=40, dtype=None):
+def bench_resnet_extraction(batch_size=128, iters=80, dtype=None):
     """ResNet50-trunc 224x224 patch embedding, bf16 conv stack,
     preprocess fused into the jit step.
 

@@ -32,7 +32,7 @@ def build_parser():
     p.add_argument("--csv_path", type=str, default=None,
                    help="optional process list (slide_id column)")
     p.add_argument("--feat_dir", type=str, required=True)
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--slide_ext", type=str, default=".svs")
     p.add_argument("--target_patch_size", type=int, default=224)
     p.add_argument("--weights", type=str, default=None)

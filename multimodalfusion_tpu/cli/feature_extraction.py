@@ -33,7 +33,7 @@ def build_parser():
     p.add_argument("--radio_dir", type=str, required=True)
     p.add_argument("--csv_path", type=str, required=True)
     p.add_argument("--output_dir", type=str, required=True)
-    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--planes", type=str, default="axial")
     p.add_argument("--cancer_type", type=str, default="glioma",
                    choices=["glioma", "lung"])

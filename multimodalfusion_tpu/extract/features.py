@@ -23,10 +23,12 @@ class Embedder:
     """images (uint8/float NHWC) -> 1024-d embeddings, padded/batched."""
 
     def __init__(self, weights_path: Optional[str] = None,
-                 variables=None, batch_size: int = 256,
+                 variables=None, batch_size: int = 128,
                  dtype=jnp.bfloat16, image_size: int = 224,
                  mesh=None):
         self.model = ResNet50Trunc(dtype=dtype)
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.batch_size = batch_size
         self.image_size = image_size
         self.mesh = mesh
