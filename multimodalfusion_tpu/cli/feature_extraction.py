@@ -21,6 +21,7 @@ import pandas as pd
 
 from multimodalfusion_tpu.data.io import ensure_dir, save_hdf5, save_pkl, \
     save_pt
+from multimodalfusion_tpu.data.loaders import prefetch
 from multimodalfusion_tpu.data.radiology import (preprocess_glioma_scan,
                                                  preprocess_lung_scan)
 from multimodalfusion_tpu.extract.features import Embedder
@@ -62,14 +63,8 @@ def _write_outputs(h5_path: str, pt_path: str, features: np.ndarray,
     save_pt(pt_path, features.astype(np.float32))
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    df = pd.read_csv(args.csv_path)
-    embedder = Embedder(weights_path=args.weights,
-                        batch_size=args.batch_size)
-    out_root = ensure_dir(os.path.join(args.output_dir, args.cancer_type))
-    not_processed = []
-
+def _iter_jobs(args, df, out_root):
+    """Yield (label, h5_path, pt_path, preprocess_thunk) per pending scan."""
     if args.cancer_type == "glioma":
         subj_mods = (df[["subject_id"] + GLIOMA_MODALITIES].dropna()
                      .set_index("subject_id").T.to_dict())
@@ -86,17 +81,9 @@ def main(argv=None) -> int:
                                        f"{subject}.pt")
                 if os.path.exists(h5_path):  # idempotent (ref :184-186)
                     continue
-                t0 = time.time()
-                try:
-                    slices, slice_ids = preprocess_glioma_scan(
-                        _resolve_scan(args.radio_dir, subject, fname))
-                    feats = embedder.embed_slices(slices)
-                    _write_outputs(h5_path, pt_path, feats, slice_ids)
-                    print(f"{subject}/{modality}: {feats.shape[0]} slices "
-                          f"in {time.time() - t0:.1f}s")
-                except Exception as e:  # per-scan fault isolation
-                    print(f"FAILED {subject}/{modality}: {e}")
-                    not_processed.append((subject, modality, str(e)))
+                scan = _resolve_scan(args.radio_dir, subject, fname)
+                yield ((subject, modality), h5_path, pt_path,
+                       lambda p=scan: preprocess_glioma_scan(p))
     else:  # lung CT
         ensure_dir(os.path.join(out_root, "radio_h5_files", "CT"))
         ensure_dir(os.path.join(out_root, "radio_pt_files", "CT"))
@@ -108,18 +95,52 @@ def main(argv=None) -> int:
                                    f"{subject}.pt")
             if os.path.exists(h5_path):
                 continue
+            scan = _resolve_scan(args.radio_dir, subject, scan_dir)
+            yield ((subject,), h5_path, pt_path,
+                   lambda p=scan: preprocess_lung_scan(
+                       p, segment_each_slice=args.segment))
+
+
+def _preprocessed(jobs):
+    """Run each job's CPU preprocessing, trapping per-scan failures so a
+    bad scan can't kill the prefetch pipeline."""
+    for label, h5_path, pt_path, thunk in jobs:
+        t0 = time.time()
+        try:
+            slices, slice_ids = thunk()
+            yield (label, h5_path, pt_path, slices, slice_ids, None,
+                   time.time() - t0)
+        except Exception as e:
+            yield label, h5_path, pt_path, None, None, e, time.time() - t0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    df = pd.read_csv(args.csv_path)
+    embedder = Embedder(weights_path=args.weights,
+                        batch_size=args.batch_size)
+    out_root = ensure_dir(os.path.join(args.output_dir, args.cancer_type))
+    not_processed = []
+
+    # CPU preprocessing of scan k+1 overlaps TPU embedding of scan k
+    # (the reference gets this from DataLoader workers, :97-101).
+    jobs = _preprocessed(_iter_jobs(args, df, out_root))
+    for label, h5_path, pt_path, slices, slice_ids, err, prep_dt in \
+            prefetch(jobs, depth=2):
+        name = "/".join(str(p) for p in label)
+        if err is None:
             t0 = time.time()
             try:
-                slices, slice_ids = preprocess_lung_scan(
-                    _resolve_scan(args.radio_dir, subject, scan_dir),
-                    segment_each_slice=args.segment)
                 feats = embedder.embed_slices(slices)
                 _write_outputs(h5_path, pt_path, feats, slice_ids)
-                print(f"{subject}: {feats.shape[0]} slices in "
-                      f"{time.time() - t0:.1f}s")
-            except Exception as e:
-                print(f"FAILED {subject}: {e}")
-                not_processed.append((subject, str(e)))
+                print(f"{name}: {feats.shape[0]} slices in "
+                      f"{prep_dt + time.time() - t0:.1f}s "
+                      f"(prep {prep_dt:.1f}s)")
+                continue
+            except Exception as e:  # per-scan fault isolation
+                err = e
+        print(f"FAILED {name}: {err}")
+        not_processed.append(label + (str(err),))
 
     if not_processed:
         save_pkl(os.path.join(out_root, "not_processed.pkl"), not_processed)
