@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from multimodalfusion_tpu.data.io import ensure_dir
 from multimodalfusion_tpu.data.nifti import write_nifti
 from multimodalfusion_tpu.data.radiology import (preprocess_glioma_scan,
+                                                 preprocess_lung_scan,
                                                  slices_to_rgb)
 from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
                                                load_checkpoint)
@@ -31,11 +32,14 @@ from multimodalfusion_tpu.utils.experiment import read_settings
 
 def build_parser():
     p = argparse.ArgumentParser(description="radiology GradCAM++")
-    p.add_argument("--scan", type=str, required=True, help="NIfTI path")
+    p.add_argument("--scan", type=str, required=True,
+                   help="NIfTI path (or DICOM dir for lung)")
     p.add_argument("--ckpt_path", type=str, required=True,
                    help="stage-2 radio AMIL results dir")
     p.add_argument("--which_k", type=int, default=0)
     p.add_argument("--modality", type=str, default="T1")
+    p.add_argument("--cancer_type", type=str, default="glioma",
+                   choices=["glioma", "lung"])
     p.add_argument("--save_dir", type=str, required=True)
     p.add_argument("--weights", type=str, default=None,
                    help="torch ResNet50 state_dict")
@@ -53,7 +57,14 @@ def main(argv=None) -> int:
                                           f"experiment_{exp_code}.txt"))
     modalities = settings["radio_modality"]
 
-    slices, slice_ids = preprocess_glioma_scan(args.scan)
+    lung_mask = None
+    if args.cancer_type == "lung":
+        # lung CAMs are zeroed outside the lung segmentation
+        # (ref gradcam.py:124-189 via PreprocessDatasetMask)
+        slices, slice_ids, lung_mask = preprocess_lung_scan(
+            args.scan, return_mask=True)
+    else:
+        slices, slice_ids = preprocess_glioma_scan(args.scan)
     if slices.shape[0] == 0:
         print("empty scan")
         return 1
@@ -120,6 +131,12 @@ def main(argv=None) -> int:
     weighted = cams * (attn / max(attn.max(), 1e-12))[:, None, None]
 
     ups = upsample_cams(weighted, slices.shape[1:3])
+    if lung_mask is not None:
+        # zero outside the lungs, then smooth the hard mask edge
+        # (ref gradcam.py: mask-zeroed + gaussian-blurred CAM)
+        ups = np.asarray([cv2.GaussianBlur(c * m.astype(np.float32),
+                                           (11, 11), 0)
+                          for c, m in zip(np.asarray(ups), lung_mask)])
     write_nifti(os.path.join(save_dir, "cam_volume.nii.gz"),
                 ups.astype(np.float32))
     n_top = max(int(np.ceil(len(scores) * args.top_frac)), 1)

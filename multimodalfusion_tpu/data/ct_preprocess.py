@@ -122,15 +122,21 @@ def normalize(image: np.ndarray, min_bound: float,
     return np.clip(out, 0.0, 1.0)
 
 
-def crop_image(img: np.ndarray, tol: float = 0) -> np.ndarray:
+def crop_image(img: np.ndarray, tol: float = 0, return_index: bool = False):
     """Crop spatial dims to the bounding box of voxels > tol across the
-    whole stack (ref crop_image :131-134)."""
+    whole stack (ref crop_image :131-134).  With ``return_index`` also
+    return the boolean (rows, cols) selectors so a companion volume (e.g.
+    a segmentation mask) can be cropped identically."""
     mask = img > tol
     rows = mask.any(0).any(1)
     cols = mask.any(0).any(0)
     if not rows.any() or not cols.any():
-        return img
-    return img[:, rows][:, :, cols]
+        rows = np.ones(img.shape[1], bool)
+        cols = np.ones(img.shape[2], bool)
+    out = img[:, rows][:, :, cols]
+    if return_index:
+        return out, rows, cols
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -211,9 +217,12 @@ def lung_box(original: np.ndarray, seg: np.ndarray,
     return lung_bb, seg_temp
 
 
-def largest_lung_box(volume: np.ndarray, segmentation: np.ndarray):
+def largest_lung_box(volume: np.ndarray, segmentation: np.ndarray,
+                     return_box: bool = False):
     """Crop the stack to the union bounding box over all slices (ref
-    largest_lung_box :173-192)."""
+    largest_lung_box :173-192).  With ``return_box`` also return the
+    (y0, y1, x0, x1) slice bounds so companion volumes can be cropped
+    identically."""
     b_y, b_yh = np.inf, -np.inf
     b_x, b_xw = np.inf, -np.inf
     for i in range(len(volume)):
@@ -223,6 +232,11 @@ def largest_lung_box(volume: np.ndarray, segmentation: np.ndarray):
         b_y, b_x = min(b_y, y), min(b_x, x)
         b_yh, b_xw = max(b_yh, yh), max(b_xw, xw)
     if not np.isfinite(b_y):
-        return volume
-    return volume[:, max(int(b_y) - 1, 0):int(b_yh) + 1,
-                  max(int(b_x) - 1, 0):int(b_xw) + 1]
+        box = (0, volume.shape[1], 0, volume.shape[2])
+    else:
+        box = (max(int(b_y) - 1, 0), int(b_yh) + 1,
+               max(int(b_x) - 1, 0), int(b_xw) + 1)
+    out = volume[:, box[0]:box[1], box[2]:box[3]]
+    if return_box:
+        return out, box
+    return out

@@ -48,3 +48,46 @@ def test_gradcam_cli(tmp_path):
     assert 0.0 <= cam_vol.data.max() <= 1.0 + 1e-5
     pngs = list((b / "cam").glob("slice*.png"))
     assert len(pngs) >= 2  # top 40% of 6 slices
+
+    # lung branch: CAMs zeroed outside the lung segmentation
+    lung = np.full((10, 72, 72), 40, np.int16)
+    lung[:, :4, :] = lung[:, -4:, :] = -1000
+    lung[:, :, :4] = lung[:, :, -4:] = -1000
+    lung[2:9, 20:52, 12:32] = -850
+    lung[2:9, 20:52, 40:60] = -850
+    lscan = str(b / "lung.nii.gz")
+    write_nifti(lscan, lung.astype(np.float32), pixdim=(1.0, 1.0, 1.5))
+    rc = gc_main(["--scan", lscan, "--ckpt_path", str(exp),
+                  "--which_k", "0", "--cancer_type", "lung",
+                  "--save_dir", str(b / "cam_lung"), "--image_size", "96",
+                  "--top_frac", "0.5"])
+    assert rc == 0
+    lung_cam = read_nifti(str(b / "cam_lung" / "cam_volume.nii.gz")).data
+    assert lung_cam.shape[0] > 0 and np.isfinite(lung_cam).all()
+    # mask-zeroing must suppress CAM outside the lungs (the gaussian
+    # blur smears a few px past the edge, so compare means not zeros)
+    from multimodalfusion_tpu.data.radiology import preprocess_lung_scan
+    _, _, lmask = preprocess_lung_scan(lscan, return_mask=True)
+    assert lung_cam[lmask].mean() > 2 * max(lung_cam[~lmask].mean(), 1e-9)
+
+
+def test_preprocess_lung_volume_return_mask():
+    from multimodalfusion_tpu.data.radiology import preprocess_lung_volume
+    vol = np.full((8, 72, 72), 40, np.int16)
+    vol[:, :4, :] = vol[:, -4:, :] = -1000
+    vol[:, :, :4] = vol[:, :, -4:] = -1000
+    vol[2:7, 20:52, 12:32] = -850
+    vol[2:7, 20:52, 40:60] = -850
+    slices, ids, mask = preprocess_lung_volume(vol, (2.0, 1.0, 1.0),
+                                               return_mask=True)
+    assert mask.shape == slices.shape and mask.dtype == bool
+    assert mask.any()  # lungs present
+    # the segmentation only admits voxels below -320 HU; after the
+    # (-1000, 400) window that is < 0.486 (resampling interpolates
+    # boundary voxels between lung -850 and tissue +40)
+    assert slices[mask].max() < 0.5
+    assert slices[mask].mean() < 0.25          # mostly true lung interior
+    assert slices[~mask].mean() > 0.5          # outside is mostly tissue
+    with pytest.raises(ValueError):
+        preprocess_lung_volume(vol, (2.0, 1.0, 1.0),
+                               segment_each_slice=True, return_mask=True)
