@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--which_splits", type=str, default="10foldcv")
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--results_dir", default="./results")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace (TensorBoard/Perfetto) "
+                        "and per-fold stage timings JSON here")
     p.add_argument("--mode", type=str, default="radio")
     p.add_argument("--modality", type=str, default="T1,T2,T1Gd,FLAIR")
     p.add_argument("--task", type=str, default="survival")
@@ -165,6 +168,8 @@ def main(argv=None) -> int:
     end_fold = args.k if args.k_end == -1 else args.k_end
     folds = list(range(start_fold, end_fold))
     val_cindex, test_cindex = [], []
+    from multimodalfusion_tpu.utils.profiling import StageTimer, trace
+    timings = StageTimer()
     for i in folds:
         t0 = timer()
         split_csv = os.path.join(split_dir, f"splits_{i}.csv")
@@ -192,7 +197,8 @@ def main(argv=None) -> int:
             omic_input_dim=omic_dim, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
             resume=args.resume)
-        out = train_fold(splits, i, cfg, eval_only=args.eval_only)
+        with trace(args.profile_dir), timings.stage(f"fold{i}"):
+            out = train_fold(splits, i, cfg, eval_only=args.eval_only)
         if args.split_mode == "train_val_test":
             val_df, val_c, test_df, test_c = out
             test_cindex.append(test_c)
@@ -206,6 +212,9 @@ def main(argv=None) -> int:
                               f"split_train_val_{i}_results.pkl"), val_df)
         print(f"Fold {i} Time: {timer() - t0:.1f} seconds")
 
+    if args.profile_dir:
+        ensure_dir(args.profile_dir)
+        timings.dump(os.path.join(args.profile_dir, "stage_timings.json"))
     print(f"Average validation c_index: {np.mean(val_cindex)}")
     if args.split_mode == "train_val_test":
         print(f"Average test c_index: {np.mean(test_cindex)}")
