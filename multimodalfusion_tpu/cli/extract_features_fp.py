@@ -33,10 +33,26 @@ def build_parser():
                    help="optional process list (slide_id column)")
     p.add_argument("--feat_dir", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard embedding batches over all visible devices "
+                        "(1-D data mesh; params replicated)")
     p.add_argument("--slide_ext", type=str, default=".svs")
     p.add_argument("--target_patch_size", type=int, default=224)
     p.add_argument("--weights", type=str, default=None)
     return p
+
+
+def _maybe_mesh(data_parallel: bool):
+    """1-D data mesh over all visible devices when requested (the
+    reference's DataParallel analogue, ref feature_extraction.py:99-100)."""
+    if not data_parallel:
+        return None
+    import jax
+    from multimodalfusion_tpu.parallel.mesh import make_mesh
+    if jax.device_count() < 2:
+        print("--data_parallel: only one device visible, running unsharded")
+        return None
+    return make_mesh()
 
 
 def extract_slide(slide, coords_h5: str, embedder: Embedder,
@@ -75,6 +91,7 @@ def main(argv=None) -> int:
     pt_dir = ensure_dir(os.path.join(args.feat_dir, "path_pt_files"))
     h5_dir = ensure_dir(os.path.join(args.feat_dir, "h5_files"))
     embedder = Embedder(weights_path=args.weights,
+                        mesh=_maybe_mesh(args.data_parallel),
                         batch_size=args.batch_size,
                         image_size=args.target_patch_size)
 

@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--csv_path", type=str, required=True)
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard embedding batches over all visible devices "
+                        "(1-D data mesh; params replicated)")
     p.add_argument("--planes", type=str, default="axial")
     p.add_argument("--cancer_type", type=str, default="glioma",
                    choices=["glioma", "lung"])
@@ -43,6 +46,19 @@ def build_parser():
                    help="torch-format ResNet50 state_dict for ImageNet "
                         "parity (random init if omitted)")
     return p
+
+
+def _maybe_mesh(data_parallel: bool):
+    """1-D data mesh over all visible devices when requested (the
+    reference's DataParallel analogue, ref feature_extraction.py:99-100)."""
+    if not data_parallel:
+        return None
+    import jax
+    from multimodalfusion_tpu.parallel.mesh import make_mesh
+    if jax.device_count() < 2:
+        print("--data_parallel: only one device visible, running unsharded")
+        return None
+    return make_mesh()
 
 
 def _resolve_scan(radio_dir: str, subject: str, fname: str) -> str:
@@ -118,7 +134,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     df = pd.read_csv(args.csv_path)
     embedder = Embedder(weights_path=args.weights,
-                        batch_size=args.batch_size)
+                        batch_size=args.batch_size,
+                        mesh=_maybe_mesh(args.data_parallel))
     out_root = ensure_dir(os.path.join(args.output_dir, args.cancer_type))
     not_processed = []
 

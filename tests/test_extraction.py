@@ -169,3 +169,44 @@ def test_preprocess_lung_scan_from_nifti(tmp_path):
     slices, ids = preprocess_lung_scan(p)
     assert slices.shape[0] > 0
     assert 0.0 <= slices.min() and slices.max() <= 1.0
+
+
+def test_embedder_data_parallel_mesh(rng):
+    """Mesh-sharded embedding (8-device CPU mesh) matches single-device."""
+    import jax.numpy as jnp
+    from multimodalfusion_tpu.parallel.mesh import make_mesh
+    imgs = rng.normal(size=(16, 64, 64, 3)).astype(np.float32)
+    # f32 so sharded vs unsharded reduction order is exact to tolerance
+    # (bf16 convs differ by ~1 ulp when the batch partitioning changes)
+    base = Embedder(batch_size=8, image_size=64, dtype=jnp.float32)
+    sharded = Embedder(batch_size=8, image_size=64, dtype=jnp.float32,
+                       variables=base.variables, mesh=make_mesh())
+    np.testing.assert_allclose(sharded.embed_images(imgs),
+                               base.embed_images(imgs), rtol=1e-4, atol=1e-5)
+
+
+def test_feature_extraction_cli_data_parallel(tmp_path):
+    """--data_parallel shards embedding over the virtual 8-device mesh and
+    produces the same artifact schema."""
+    from multimodalfusion_tpu.cli.feature_extraction import main as fx_main
+    rng = np.random.default_rng(5)
+    radio_dir = tmp_path / "scans"
+    os.makedirs(radio_dir)
+    row = {"subject_id": "S1"}
+    for m in ("FLAIR", "T1", "T1Gd", "T2"):
+        vol = np.zeros((6, 40, 40), np.float32)
+        vol[1:5, 5:35, 5:35] = rng.uniform(1, 80, size=(4, 30, 30))
+        fname = f"S1_{m}.nii.gz"
+        write_nifti(str(radio_dir / fname), vol,
+                    origin_lps=(0.0, -239.0, 0.0))
+        row[m] = fname
+    csv_path = tmp_path / "scans.csv"
+    pd.DataFrame([row]).to_csv(csv_path, index=False)
+    rc = fx_main(["--radio_dir", str(radio_dir), "--csv_path", str(csv_path),
+                  "--output_dir", str(tmp_path / "out"),
+                  "--cancer_type", "glioma", "--batch_size", "8",
+                  "--data_parallel"])
+    assert rc == 0
+    feats, sids = load_features_h5(
+        str(tmp_path / "out" / "glioma" / "radio_h5_files" / "T1" / "S1.h5"))
+    assert feats.shape == (4, 1024) and list(sids) == [1, 2, 3, 4]
