@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--which_splits", type=str, default="10foldcv")
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--results_dir", default="./results")
+    p.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard training batches over all visible devices")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace (TensorBoard/Perfetto) "
                         "and per-fold stage timings JSON here")
@@ -196,7 +198,7 @@ def main(argv=None) -> int:
             model_size_omic=args.model_size_omic,
             omic_input_dim=omic_dim, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
-            resume=args.resume)
+            resume=args.resume, data_parallel=args.data_parallel)
         with trace(args.profile_dir), timings.stage(f"fold{i}"):
             out = train_fold(splits, i, cfg, eval_only=args.eval_only)
         if args.split_mode == "train_val_test":

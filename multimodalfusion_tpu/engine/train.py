@@ -75,6 +75,7 @@ class TrainConfig:
     # engine knobs (no reference equivalent)
     bag_dtype: str = "float32"
     resume: bool = False             # continue a fold from its last epoch
+    data_parallel: bool = False      # shard the batch axis over all devices
 
 
 # ---------------------------------------------------------------------------
@@ -362,14 +363,21 @@ def load_checkpoint(path: str, variables_template):
 # ---------------------------------------------------------------------------
 
 def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
-               eval_step, rng, training: bool, epoch: int, seed: int):
+               eval_step, rng, training: bool, epoch: int, seed: int,
+               mesh=None):
     all_risk, all_c, all_t, losses = [], [], [], []
     it = iter_batches(split, batch_size=cfg.batch_size,
                       shuffle=training, weighted=training and
                       cfg.weighted_sample, seed=seed, indices=indices)
     for batch in it:
         subject_ids = batch.pop("subject_ids")
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if mesh is not None:
+            from multimodalfusion_tpu.parallel.mesh import (
+                pad_batch_to_devices, shard_batch)
+            batch = pad_batch_to_devices(batch, mesh.size)
+            jbatch = shard_batch(batch, mesh)
+        else:
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         if training:
             rng, sub = jax.random.split(rng)
             variables, opt_state, out = train_step(variables, opt_state,
@@ -517,15 +525,30 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         stopper.counter = int(es_state["es_counter"])
         stopper.val_loss_min = float(es_state["es_val_loss_min"])
 
+    mesh = None
+    if cfg.data_parallel:
+        if jax.device_count() < 2:
+            print("data_parallel: only one device visible, running unsharded")
+        else:
+            from multimodalfusion_tpu.parallel.mesh import (make_mesh,
+                                                            replicate_sharding)
+            mesh = make_mesh()
+            repl = replicate_sharding(mesh)
+            variables = jax.device_put(variables, repl)
+            opt_state = jax.device_put(opt_state, repl)
+            print(f"data_parallel: batch axis sharded over "
+                  f"{mesh.size} devices")
+
     stop = False
     for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.time()
         variables, opt_state, rng, tr = _run_epoch(
             cfg, train_split, train_idx, variables, opt_state, train_step,
-            eval_step, rng, True, epoch, seed=cfg.seed * 100003 + epoch)
+            eval_step, rng, True, epoch, seed=cfg.seed * 100003 + epoch,
+            mesh=mesh)
         _, _, _, va = _run_epoch(
             cfg, val_split, val_idx, variables, opt_state, train_step,
-            eval_step, rng, False, epoch, seed=0)
+            eval_step, rng, False, epoch, seed=0, mesh=mesh)
         rec = {"epoch": epoch, "train_loss": tr["loss"],
                "train_c_index": tr["c_index"], "val_loss": va["loss"],
                "val_c_index": va["c_index"], "sec": time.time() - t0}

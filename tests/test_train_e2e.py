@@ -187,3 +187,16 @@ def test_ranking_loss_rejects_batch_one(cohort):
         _run(cohort, ["--model_type", "max_net", "--mode", "omic",
                       "--bag_loss", "ranking_surv", "--batch_size", "1",
                       "--max_epochs", "1"], results_sub="results_rank1")
+
+
+def test_data_parallel_training(cohort):
+    """--data_parallel shards the batch over the 8-device CPU mesh and
+    still learns the synthetic signal."""
+    out_root = _run(cohort, ["--model_type", "max_net", "--mode", "omic",
+                             "--bag_loss", "cox_surv", "--batch_size", "16",
+                             "--max_epochs", "6", "--lr", "1e-3",
+                             "--data_parallel", "--k", "1"],
+                    results_sub="results_dp")
+    exp = next(out_root.iterdir())
+    summary = pd.read_csv(exp / "summary.csv")
+    assert summary["val_cindex"].iloc[0] > 0.70, summary
