@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weighted_sample", action="store_true", default=False)
     p.add_argument("--gc", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--data_parallel", action="store_true", default=False,
+                   help="shard training batches over all visible devices")
     p.add_argument("--nll_ratio", type=float, default=0.2)
     p.add_argument("--n_layers", type=int, default=1)
     p.add_argument("--overwrite", action="store_true", default=False)
@@ -139,7 +141,8 @@ def main(argv=None) -> int:
             weighted_sample=args.weighted_sample, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
             train_type=args.train_type, n_layers=args.n_layers,
-            pretrained=True, resume=args.resume)
+            pretrained=True, resume=args.resume,
+            data_parallel=args.data_parallel)
         out = train_fold(splits, i, cfg)
         if args.split_mode == "train_val_test":
             val_df, val_c, test_df, test_c = out

@@ -32,7 +32,9 @@ def experiment_code(args, pretrained: bool = False) -> str:
         if "omic" in args.mode:
             code += "_OMICS"
     else:
-        raise NotImplementedError(args.model_type)
+        raise NotImplementedError(
+            f"model_type {args.model_type!r}; note pretrained head names "
+            "(fcnn/highway/early-*/late-*/kronecker) belong in --train_type")
 
     code += "_a%s" % str(args.alpha_surv)
     if pretrained and getattr(args, "bag_loss", "") == "ranking_nll_surv":
