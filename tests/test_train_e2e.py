@@ -200,3 +200,15 @@ def test_data_parallel_training(cohort):
     exp = next(out_root.iterdir())
     summary = pd.read_csv(exp / "summary.csv")
     assert summary["val_cindex"].iloc[0] > 0.70, summary
+
+
+def test_data_parallel_with_grad_accum(cohort):
+    """gc>1 (optax.MultiSteps) composes with batch-axis sharding."""
+    out_root = _run(cohort, ["--model_type", "max_net", "--mode", "omic",
+                             "--bag_loss", "nll_surv", "--batch_size", "8",
+                             "--max_epochs", "2", "--gc", "2",
+                             "--data_parallel", "--k", "1"],
+                    results_sub="results_dp_gc")
+    exp = next(out_root.iterdir())
+    summary = pd.read_csv(exp / "summary.csv")
+    assert np.isfinite(summary["val_cindex"].iloc[0])
