@@ -62,7 +62,7 @@ def _sync(jax, tree):
     return tree
 
 
-def bench_batched(setup, iters=30):
+def bench_batched(setup, iters=100):
     (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
      jbatch, B, N, D) = setup
     key = jax.random.PRNGKey(1)
@@ -79,7 +79,7 @@ def bench_batched(setup, iters=30):
     return best
 
 
-def bench_reference_style(setup, iters=8):
+def bench_reference_style(setup, iters=30):
     """Reference architecture on the same chip: batch_size=1, unfused
     softmax pooling, per-bag jit step (the torch pipeline's shape)."""
     (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
