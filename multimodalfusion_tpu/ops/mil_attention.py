@@ -155,7 +155,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
-                       tile_n: int = 512, interpret: bool = False):
+                       tile_n: int = 1024, interpret: bool = False):
     B, N, D = h.shape
     Da = params.Wa.shape[1]
     tn = min(tile_n, _round_up(N, 128))
@@ -295,11 +295,14 @@ def _fused_pool_bwd_kernel(h_ref, mask_ref, g_ref, out_ref, ml_ref,
             preferred_element_type=jnp.float32)
         dbb_ref[...] += jnp.sum(dpb, axis=0, keepdims=True)
     dwc_ref[...] += jnp.sum(z * ds, axis=0, keepdims=True)
-    dcc_ref[...] = dcc_ref[...] + jnp.sum(ds)  # [1,1] store (no scalars)
+    # dcc = sum(ds) is analytically 0: softmax attention is invariant to a
+    # constant logit shift, so sum_i ds_i = A - 1*A = 0 per bag.  Summing
+    # in bf16 leaves O(1e-3) cancellation noise, so keep the exact zero
+    # from _init instead of accumulating.
 
 
 def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
-                           gated: bool, tile_n: int = 512,
+                           gated: bool, tile_n: int = 256,
                            interpret: bool = False):
     B, N, D = h.shape
     Da = params.Wa.shape[1]
