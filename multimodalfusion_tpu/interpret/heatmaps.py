@@ -132,15 +132,20 @@ def compute_fine_scores(slide, tissue, holes, embedder, score_fn,
                                  patch_size=patch_size, step_size=step)
     if len(coords) == 0:
         return np.zeros(0), coords
-    feats = []
-    for start in range(0, len(coords), chunk):
-        patches = read_patches(slide, coords[start:start + chunk],
-                               patch_level, patch_size)
-        if patches.shape[1] != embedder.image_size:
-            patches = np.stack([
-                cv2.resize(p, (embedder.image_size, embedder.image_size))
-                for p in patches])
-        feats.append(embedder.embed_images(patches))
+    from multimodalfusion_tpu.data.loaders import prefetch
+
+    def _chunks():
+        # host-side patch reads + resizes, overlapped with TPU embedding
+        for start in range(0, len(coords), chunk):
+            patches = read_patches(slide, coords[start:start + chunk],
+                                   patch_level, patch_size)
+            if patches.shape[1] != embedder.image_size:
+                patches = np.stack([
+                    cv2.resize(p, (embedder.image_size, embedder.image_size))
+                    for p in patches])
+            yield patches
+
+    feats = [embedder.embed_images(p) for p in prefetch(_chunks(), depth=2)]
     feats = np.concatenate(feats, axis=0)
     scores = np.asarray(score_fn(feats)).reshape(-1)
     return scores, coords
