@@ -114,6 +114,12 @@ def main(argv=None) -> int:
     np.random.seed(args.seed)
 
     csv_path = os.path.join(dataset_path, f"{args.task}.csv")
+    if not os.path.exists(csv_path):
+        have = sorted(f[:-4] for f in os.listdir(dataset_path)
+                      if f.endswith(".csv")) if os.path.isdir(dataset_path) \
+            else []
+        raise SystemExit(f"--task {args.task!r}: {csv_path} not found; "
+                         f"available tasks in {dataset_path}: {have}")
     dataset = SurvivalDataset(csv_path=csv_path, mode=args.mode,
                               modalities=modalities,
                               data_dir=data_root_dir,
