@@ -40,6 +40,10 @@ def build_parser():
     p.add_argument("--patch", action="store_true", default=True)
     p.add_argument("--stitch", action="store_true", default=False)
     p.add_argument("--no_auto_skip", action="store_true", default=False)
+    p.add_argument("--preset", type=str, default=None,
+                   help="CSV with one row of segmentation/filter defaults "
+                        "applied to every slide (ref presets/tcga.csv); "
+                        "per-slide process_list values still win")
     p.add_argument("--process_list", type=str, default=None,
                    help="CSV of slides + per-slide params")
     p.add_argument("--seg_level", type=int, default=-1)
@@ -109,13 +113,16 @@ def main(argv=None) -> int:
     mask_dir = ensure_dir(os.path.join(args.save_dir, "masks"))
     stitch_dir = ensure_dir(os.path.join(args.save_dir, "stitches"))
 
+    preset = {}
+    if args.preset:
+        preset = pd.read_csv(args.preset).iloc[0].to_dict()
     if args.process_list:
         df = pd.read_csv(args.process_list)
         slide_names = df["slide_id"].tolist()
-        param_rows = df.to_dict("records")
+        param_rows = [{**preset, **r} for r in df.to_dict("records")]
     else:
         slide_names = sorted(os.listdir(args.source))
-        param_rows = [{} for _ in slide_names]
+        param_rows = [dict(preset) for _ in slide_names]
 
     rows = []
     for name, params in zip(slide_names, param_rows):
