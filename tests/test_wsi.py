@@ -176,3 +176,36 @@ def test_fetch_mag_params_absent_mpp(slide):
     mag0, lvl, ps, ss, custom = wsi.fetch_mag_patching_params(
         slide, mag_level=40, mpp=0.5)  # 20X slide, 40X requested
     assert lvl == 0 and ps == 256 and custom is None
+
+
+def test_create_patches_preset(tmp_path):
+    """--preset CSV governs segmentation; per-slide process_list wins."""
+    import pandas as pd
+    from PIL import Image
+    from multimodalfusion_tpu.cli.create_patches import main as cp_main
+    from multimodalfusion_tpu.data import wsi
+
+    slides_dir = tmp_path / "slides"
+    os.makedirs(slides_dir)
+    slide = wsi.synthetic_slide(2048, 1536, n_blobs=3, seed=9)
+    imgs = [Image.fromarray(l) for l in slide.levels]
+    imgs[0].save(str(slides_dir / "P1.tiff"), save_all=True,
+                 append_images=imgs[1:])
+
+    strict = tmp_path / "strict.csv"
+    strict.write_text("seg_level,sthresh,a_t,a_h\n-1,8,100,50\n")
+    rc = cp_main(["--source", str(slides_dir),
+                  "--save_dir", str(tmp_path / "out_strict"),
+                  "--preset", str(strict)])
+    assert rc == 0
+    ag = pd.read_csv(tmp_path / "out_strict" / "process_list_autogen.csv")
+    assert ag.iloc[0]["a_t"] == 100 and ag.iloc[0]["n_patches"] == 0
+
+    plist = tmp_path / "plist.csv"
+    plist.write_text("slide_id,a_t,a_h\nP1.tiff,0.5,0.05\n")
+    rc = cp_main(["--source", str(slides_dir),
+                  "--save_dir", str(tmp_path / "out_override"),
+                  "--preset", str(strict), "--process_list", str(plist)])
+    assert rc == 0
+    ag = pd.read_csv(tmp_path / "out_override" / "process_list_autogen.csv")
+    assert ag.iloc[0]["a_t"] == 0.5 and ag.iloc[0]["n_patches"] > 0
