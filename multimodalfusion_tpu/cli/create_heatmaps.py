@@ -190,6 +190,15 @@ def run_radio_branch(cfg_ns) -> int:
     subjects = pd.read_csv(d.process_list)["subject_id"].tolist()
     modalities = list(getattr(d, "modalities",
                               ["FLAIR", "T1", "T1Gd", "T2"]))
+    # model/checkpoint are bag-length independent: load ONCE (as in the
+    # path branch) instead of re-deserializing per subject
+    dummy = {"radio_bags": np.zeros((1, 16, len(modalities) * 1024),
+                                    np.float32),
+             "radio_mask": np.ones((1, 16), np.float32),
+             "Y": np.zeros(1, np.int32), "t": np.zeros(1, np.float32),
+             "c": np.zeros(1, np.float32), "valid": np.ones(1, np.float32)}
+    model, variables, cfg, settings = _load_model(
+        m, dummy, which_k=getattr(m, "which_k", 0))
     rows = []
     for subject in subjects:
         feats, sids = [], []
@@ -205,12 +214,6 @@ def run_radio_branch(cfg_ns) -> int:
         from multimodalfusion_tpu.data.bags import intersect_slices
         bag = intersect_slices(feats, sids)[None]
         mask = np.ones((1, bag.shape[1]), np.float32)
-        template = {"radio_bags": bag, "radio_mask": mask,
-                    "Y": np.zeros(1, np.int32), "t": np.zeros(1, np.float32),
-                    "c": np.zeros(1, np.float32),
-                    "valid": np.ones(1, np.float32)}
-        model, variables, cfg, settings = _load_model(
-            m, template, which_k=getattr(m, "which_k", 0))
         scores = np.asarray(model.apply(
             variables, bags=jnp.asarray(bag), mask=jnp.asarray(mask),
             deterministic=True, attention_only=True))[0]
@@ -301,11 +304,11 @@ def run_omic_branch(cfg_ns) -> int:
 
     (attr,) = integrated_gradients(risk_fn,
                                    (jnp.asarray(batch["genomic"]),))
-    attr = np.asarray(attr)
+    valid = np.asarray(batch["valid"]) > 0
+    attr = np.asarray(attr)[valid]  # drop padded rows before pairing ids
     genes = split.genomic_cols
     per_patient = pd.DataFrame(attr, columns=genes)
-    per_patient.insert(0, "subject_id",
-                       np.asarray(subject_ids)[batch["valid"] > 0])
+    per_patient.insert(0, "subject_id", np.asarray(subject_ids)[valid])
     per_patient.to_csv(os.path.join(save_dir, "omic_attr_per_patient.csv"),
                        index=False)
     global_df = pd.DataFrame({
