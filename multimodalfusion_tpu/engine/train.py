@@ -299,13 +299,12 @@ def _mask_missing_modality_grads(grads, batch):
 
 class EarlyStopping:
     def __init__(self, warmup=0, patience=20, stop_epoch=100, verbose=False,
-                 model_type=None, gated=True):
+                 interop_spec=None):
         self.warmup = warmup
         self.patience = patience
         self.stop_epoch = stop_epoch
         self.verbose = verbose
-        self.model_type = model_type
-        self.gated = gated
+        self.interop_spec = interop_spec
         self.counter = 0
         self.best_score = None
         self.early_stop = False
@@ -332,23 +331,21 @@ class EarlyStopping:
 
     def _save(self, val_loss, variables, ckpt_name):
         if ckpt_name is not None:
-            save_checkpoint(ckpt_name, variables, self.model_type,
-                            self.gated)
+            save_checkpoint(ckpt_name, variables, self.interop_spec)
         self.val_loss_min = val_loss
 
 
-def save_checkpoint(path: str, variables, model_type: str = None,
-                    gated: bool = True) -> None:
+def save_checkpoint(path: str, variables, interop_spec=None) -> None:
+    """Write the flax msgpack checkpoint plus, when an interop spec is
+    given, a reference-shaped .pt side-export (ref s_{k}_*.pt names,
+    core_utils.py:152-159) covering every model build_model can make."""
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(variables))
-    # reference-interop: also export a .pt state_dict when the model type
-    # has a torch mapping (ref checkpoint names s_{k}_*.pt)
-    if model_type in ("max_net", "path_attention_mil",
-                      "radio_attention_mil"):
+    if interop_spec is not None:
         try:
             from multimodalfusion_tpu.utils.torch_interop import export_pt
-            export_pt(path.replace(".msgpack", ".pt"), model_type,
-                      variables["params"], gated=gated)
+            export_pt(path.replace(".msgpack", ".pt"), interop_spec,
+                      variables)
         except Exception as e:  # export is best-effort but never silent
             print(f"WARNING: reference .pt export failed for {path}: {e}")
 
@@ -492,13 +489,14 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             return results_val, val_c, results_test, test_c
         return results_val, val_c
 
-    gated = cfg.gate_path if cfg.model_type == "path_attention_mil" \
-        else cfg.gate_radio
+    try:
+        from multimodalfusion_tpu.utils.torch_interop import spec_from_config
+        interop_spec = spec_from_config(cfg)
+    except NotImplementedError:
+        interop_spec = None
     stopper = (EarlyStopping(warmup=0, patience=20,
                              stop_epoch=100 if not cfg.pretrained else 50,
-                             verbose=True,
-                             model_type=None if cfg.pretrained else
-                             cfg.model_type, gated=gated)
+                             verbose=True, interop_spec=interop_spec)
                if cfg.early_stopping else None)
 
     start_epoch = 0
@@ -560,9 +558,7 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             f.write(json.dumps(rec) + "\n")
         if epoch == 10:
             # ref core_utils.py:342
-            save_checkpoint(mid_ckpt, variables,
-                            None if cfg.pretrained else cfg.model_type,
-                            gated)
+            save_checkpoint(mid_ckpt, variables, interop_spec)
         if stopper is not None:
             stopper(epoch, va["loss"], variables, minloss_ckpt)
             if stopper.early_stop:
@@ -584,16 +580,14 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         if stop:
             break
 
-    save_checkpoint(ckpt, variables,
-                    None if cfg.pretrained else cfg.model_type, gated)
+    save_checkpoint(ckpt, variables, interop_spec)
     final_results_val, final_val_c = summary_survival(
         cfg, val_split, variables, eval_step, val_idx)
     if cfg.early_stopping and os.path.exists(minloss_ckpt):
         variables = load_checkpoint(minloss_ckpt, variables)
     else:
         # no early stopping: minloss == final (keep downstream contracts)
-        save_checkpoint(minloss_ckpt, variables,
-                        None if cfg.pretrained else cfg.model_type, gated)
+        save_checkpoint(minloss_ckpt, variables, interop_spec)
     results_val, val_c = summary_survival(cfg, val_split, variables,
                                           eval_step, val_idx)
     print(f"Final Val c-Index: {final_val_c:.4f}")

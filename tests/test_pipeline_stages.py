@@ -80,6 +80,15 @@ def test_full_pipeline(base):
     summary = pd.read_csv(exp / "summary.csv")
     assert summary["val_cindex"].mean() > 0.6, summary
 
+    # reference-shaped .pt side-export for the stage-4 head (ref checkpoint
+    # names s_{k}_checkpoint.pt, core_utils_pretrained.py): early-fcnn nll =
+    # Sequential(Linear, BN, ReLU, Dropout, Linear) incl. BN running stats
+    import torch
+    sd = torch.load(exp / "s_0_checkpoint.pt", map_location="cpu",
+                    weights_only=True)
+    assert "classifier.0.weight" in sd and "classifier.4.weight" in sd
+    assert "classifier.1.running_mean" in sd, sorted(sd)
+
     # ---- eval with IBS ------------------------------------------------
     rc = eval_main(["--model_path", str(exp)])
     assert rc == 0
@@ -102,3 +111,10 @@ def test_unimodal_pretrained_head(base):
     exp = next((b / "s4_uni" / "brain" / "2foldcv").iterdir())
     summary = pd.read_csv(exp / "summary.csv")
     assert np.isfinite(summary["val_cindex"]).all()
+
+    # coxranking fcnn head .pt export (ref coxranking_models_pretrained.py:23)
+    import torch
+    sd = torch.load(exp / "s_0_checkpoint.pt", map_location="cpu",
+                    weights_only=True)
+    assert {"classifier.0.weight", "classifier.1.running_var",
+            "classifier.4.weight"} <= set(sd)
