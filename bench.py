@@ -133,8 +133,9 @@ def bench_resnet_extraction(batch_size=128, iters=80, dtype=None):
     import jax
     import jax.numpy as jnp
     from multimodalfusion_tpu.extract.features import Embedder
+    # random weights are fine for throughput: identical FLOPs/layout
     emb = Embedder(batch_size=batch_size,
-                   dtype=dtype or jnp.bfloat16)
+                   dtype=dtype or jnp.bfloat16, allow_random=True)
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, size=(batch_size, 224, 224, 3),
                         dtype=np.uint8)

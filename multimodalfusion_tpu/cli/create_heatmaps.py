@@ -141,7 +141,9 @@ def run_path_branch(cfg_ns) -> int:
             embedder = Embedder(
                 weights_path=getattr(m, "resnet_weights", None),
                 batch_size=int(getattr(p, "batch_size", 128)),
-                image_size=int(getattr(p, "target_patch_size", 224)))
+                image_size=int(getattr(p, "target_patch_size", 224)),
+                allow_random=bool(getattr(m, "allow_random_weights",
+                                          False)))
 
             def score_fn(feats):
                 import jax.numpy as _jnp
@@ -212,19 +214,20 @@ def run_radio_branch(cfg_ns) -> int:
             print(f"missing features for {subject}")
             continue
         from multimodalfusion_tpu.data.bags import intersect_slices
-        bag = intersect_slices(feats, sids)[None]
+        bag, common = intersect_slices(feats, sids, return_ids=True)
+        bag = bag[None]
         mask = np.ones((1, bag.shape[1]), np.float32)
         scores = np.asarray(model.apply(
             variables, bags=jnp.asarray(bag), mask=jnp.asarray(mask),
             deterministic=True, attention_only=True))[0]
-        common = sorted(set.intersection(*[set(s.tolist()) for s in sids]))
+        # intersect_slices guarantees score i belongs to common[i]
+        assert len(scores) == len(common)
         n = len(scores)
         decile = max(int(np.ceil(n * 0.1)), min(20, n))  # ref :604-612
         order = np.argsort(-scores)
         for rank, idx in enumerate(order):
             rows.append({"subject_id": subject,
-                         "slice_index": common[idx] if idx < len(common)
-                         else idx,
+                         "slice_index": int(common[idx]),
                          "attention": float(scores[idx]),
                          "group": ("top" if rank < decile else
                                    "low" if rank >= n - decile else "mid")})

@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--slide_ext", type=str, default=".svs")
     p.add_argument("--target_patch_size", type=int, default=224)
     p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--allow_random_weights", action="store_true",
+                   default=False,
+                   help="proceed with a randomly initialized ResNet50 "
+                        "(test/debug only — embeddings are meaningless)")
     return p
 
 
@@ -93,7 +97,8 @@ def main(argv=None) -> int:
     embedder = Embedder(weights_path=args.weights,
                         mesh=_maybe_mesh(args.data_parallel),
                         batch_size=args.batch_size,
-                        image_size=args.target_patch_size)
+                        image_size=args.target_patch_size,
+                        allow_random=args.allow_random_weights)
 
     patches_dir = os.path.join(args.data_h5_dir, "patches")
     if args.csv_path:

@@ -44,7 +44,11 @@ def build_parser():
     p.add_argument("--segment", action="store_true", default=False)
     p.add_argument("--weights", type=str, default=None,
                    help="torch-format ResNet50 state_dict for ImageNet "
-                        "parity (random init if omitted)")
+                        "parity")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   default=False,
+                   help="proceed with a randomly initialized ResNet50 "
+                        "(test/debug only — embeddings are meaningless)")
     return p
 
 
@@ -135,7 +139,8 @@ def main(argv=None) -> int:
     df = pd.read_csv(args.csv_path)
     embedder = Embedder(weights_path=args.weights,
                         batch_size=args.batch_size,
-                        mesh=_maybe_mesh(args.data_parallel))
+                        mesh=_maybe_mesh(args.data_parallel),
+                        allow_random=args.allow_random_weights)
     out_root = ensure_dir(os.path.join(args.output_dir, args.cancer_type))
     not_processed = []
 

@@ -43,6 +43,10 @@ def build_parser():
     p.add_argument("--save_dir", type=str, required=True)
     p.add_argument("--weights", type=str, default=None,
                    help="torch ResNet50 state_dict")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   default=False,
+                   help="proceed with a randomly initialized ResNet50 "
+                        "(test/debug only — the CAM volume is noise)")
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--top_frac", type=float, default=0.1,
                    help="fraction of top-attention slices to render")
@@ -74,8 +78,20 @@ def main(argv=None) -> int:
     resnet = ResNet50Trunc()
     if args.weights:
         res_vars = load_torch_checkpoint(args.weights)
-    else:
+    elif args.allow_random_weights:
+        import warnings
+        warnings.warn(
+            "gradcam: no --weights given — the ResNet50 is RANDOMLY "
+            "initialized and the CAM volume is noise (test/debug only).",
+            stacklevel=1)
         res_vars = resnet.init(jax.random.PRNGKey(0), images[:1])
+    else:
+        print("error: --weights is required (torch ResNet50 state_dict; "
+              "export once with torch.save(torchvision.models.resnet50("
+              "weights='IMAGENET1K_V1').state_dict(), 'resnet50.pt')). "
+              "Pass --allow_random_weights to override for tests.",
+              file=sys.stderr)
+        return 2
 
     cfg = TrainConfig(model_type="radio_attention_mil", mode="radio",
                       modalities=tuple(modalities),

@@ -53,19 +53,37 @@ def pad_bags(bags: Sequence[Optional[np.ndarray]], feat_dim: int,
 
 
 def intersect_slices(features: List[np.ndarray],
-                     slice_ids: List[np.ndarray]) -> np.ndarray:
-    """Align multi-sequence radiology bags on their common slice indices
-    and concatenate along the feature axis (ref
-    dataset_survival.py:346-348).  Returns [N_common, sum(D_m)]."""
-    common = set(slice_ids[0].tolist())
+                     slice_ids: List[np.ndarray],
+                     return_ids: bool = False):
+    """Align multi-sequence radiology bags on their common slice ids and
+    concatenate along the feature axis (ref dataset_survival.py:346-348).
+
+    Row i of the result is slice ``sorted(common)[i]`` for EVERY modality
+    — id-exact alignment.  The reference's boolean-mask indexing silently
+    misaligns rows when modalities store their slices in different orders;
+    here each modality is reindexed to the shared sorted id order instead.
+    Duplicate ids within a modality are an error (the mask recipe would
+    pair them with arbitrary rows of the other modalities).
+
+    Returns [N_common, sum(D_m)], plus the sorted common ids when
+    ``return_ids`` is set.
+    """
+    for s in slice_ids:
+        if len(np.unique(s)) != len(s):
+            raise ValueError(
+                "duplicate slice ids within a modality: "
+                f"{np.asarray(s).tolist()}")
+    common = set(np.asarray(slice_ids[0]).tolist())
     for s in slice_ids[1:]:
-        common &= set(s.tolist())
+        common &= set(np.asarray(s).tolist())
+    common_sorted = np.array(sorted(common))
     aligned = []
     for f, s in zip(features, slice_ids):
-        sel = np.isin(s, list(common))
-        # preserve each modality's own ordering of its kept slices,
-        # matching the reference's boolean-mask indexing
-        aligned.append(f[sel])
-    n = min(a.shape[0] for a in aligned)
-    aligned = [a[:n] for a in aligned]
-    return np.concatenate(aligned, axis=1)
+        pos = {v: i for i, v in enumerate(np.asarray(s).tolist())}
+        order = np.array([pos[v] for v in common_sorted.tolist()],
+                         dtype=np.intp)
+        aligned.append(np.asarray(f)[order])
+    out = np.concatenate(aligned, axis=1)
+    if return_ids:
+        return out, common_sorted
+    return out

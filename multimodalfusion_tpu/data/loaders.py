@@ -24,12 +24,9 @@ def usable_indices(split: Split) -> List[int]:
         return list(range(len(split)))
     idx = []
     for i in range(len(split)):
-        s = split.get_sample(i)
-        ok = True
-        for m in ("radio", "path", "omic"):
-            if m in ds.mode and not s.present.get(m, False):
-                ok = False
-                break
+        present = split.probe_present(i)
+        ok = all(present.get(m, False)
+                 for m in ("radio", "path", "omic") if m in ds.mode)
         if ok:
             idx.append(i)
     return idx

@@ -83,6 +83,42 @@ class Split:
             w[i] = N / counts[y]
         return w
 
+    def probe_present(self, idx: int) -> Dict[str, bool]:
+        """Cheap modality-presence probe: file-existence + CSV checks only,
+        no array loads.  Mirrors the presence semantics of ``_load_raw``
+        (short of corrupt-file cases) so ``usable_indices`` can pre-filter a
+        fold without reading gigabytes of bags (ref core_utils.py:185-192
+        skips in-loop; we skip up-front)."""
+        ds = self.ds
+        row = self.df.iloc[idx]
+        subject_id = row["subject_id"]
+        present: Dict[str, bool] = {}
+
+        if "radio" in ds.mode:
+            ok = bool(ds.data_dir) and all(
+                isinstance(row.get(m), str) or
+                (row.get(m) is not None and not pd.isna(row.get(m)))
+                for m in ds.modalities)
+            if ok:
+                ok = all(os.path.exists(os.path.join(
+                    ds.data_dir, "radio_h5_files", m, f"{subject_id}.h5"))
+                    for m in ds.modalities)
+            present["radio"] = ok
+
+        if "path" in ds.mode:
+            slide_ids = ds.slides_dict.get(subject_id, []) if ds.data_dir \
+                else []
+            present["path"] = any(
+                os.path.exists(os.path.join(
+                    ds.data_dir, "path_pt_files",
+                    str(sid).replace(".svs", ".pt")))
+                for sid in slide_ids)
+
+        if "omic" in ds.mode:
+            present["omic"] = not bool(
+                np.any(np.isnan(self.genomic_features[idx])))
+        return present
+
     def get_sample(self, idx: int) -> Sample:
         row = self.df.iloc[idx]
         subject_id = row["subject_id"]

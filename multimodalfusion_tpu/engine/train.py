@@ -24,7 +24,8 @@ from flax import serialization
 
 from multimodalfusion_tpu import losses as losses_mod
 from multimodalfusion_tpu import metrics as metrics_mod
-from multimodalfusion_tpu.data.loaders import iter_batches, usable_indices
+from multimodalfusion_tpu.data.loaders import (iter_batches, prefetch,
+                                               usable_indices)
 from multimodalfusion_tpu.models import (MaxNet, MMAttentionMIL,
                                          MultimodalPretrained, PathAMIL,
                                          RadioAMIL, UnimodalPretrained)
@@ -363,9 +364,15 @@ def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
                eval_step, rng, training: bool, epoch: int, seed: int,
                mesh=None):
     all_risk, all_c, all_t, losses = [], [], [], []
-    it = iter_batches(split, batch_size=cfg.batch_size,
-                      shuffle=training, weighted=training and
-                      cfg.weighted_sample, seed=seed, indices=indices)
+    # background-thread prefetch overlaps bag IO + collation with device
+    # compute (the reference uses torch DataLoader workers for the same,
+    # ref utils/utils.py:112); buffer reuse must be off — the worker
+    # collates batch n+1 while the consumer still reads batch n
+    it = prefetch(iter_batches(split, batch_size=cfg.batch_size,
+                               shuffle=training, weighted=training and
+                               cfg.weighted_sample, seed=seed,
+                               indices=indices,
+                               reuse_collation_buffers=False))
     for batch in it:
         subject_ids = batch.pop("subject_ids")
         if mesh is not None:
@@ -407,8 +414,9 @@ def summary_survival(cfg, split, variables, eval_step,
     if indices is None:
         indices = usable_indices(split)
     all_ids, all_risk, all_c, all_t, all_label, all_S = [], [], [], [], [], []
-    for batch in iter_batches(split, batch_size=cfg.batch_size,
-                              shuffle=False, indices=indices):
+    for batch in prefetch(iter_batches(split, batch_size=cfg.batch_size,
+                                       shuffle=False, indices=indices,
+                                       reuse_collation_buffers=False)):
         subject_ids = batch.pop("subject_ids")
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         out = eval_step(variables, jbatch)

@@ -25,7 +25,7 @@ class Embedder:
     def __init__(self, weights_path: Optional[str] = None,
                  variables=None, batch_size: int = 128,
                  dtype=jnp.bfloat16, image_size: int = 224,
-                 mesh=None):
+                 mesh=None, allow_random: bool = False):
         self.model = ResNet50Trunc(dtype=dtype)
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
@@ -36,10 +36,24 @@ class Embedder:
             self.variables = variables
         elif weights_path is not None:
             self.variables = load_torch_checkpoint(weights_path)
-        else:
+        elif allow_random:
+            import warnings
+            warnings.warn(
+                "Embedder: no weights given — using a RANDOMLY initialized "
+                "ResNet50. Embeddings are meaningless outside tests; pass a "
+                "torchvision resnet50 state_dict (torch.save(torchvision."
+                "models.resnet50(weights='IMAGENET1K_V1').state_dict(), "
+                "'resnet50.pt')).", stacklevel=2)
             self.variables = self.model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, image_size, image_size, 3), jnp.float32))
+        else:
+            raise ValueError(
+                "Embedder needs ResNet50 weights (weights_path= or "
+                "variables=). Export them once with torch: "
+                "torch.save(torchvision.models.resnet50("
+                "weights='IMAGENET1K_V1').state_dict(), 'resnet50.pt'). "
+                "Pass allow_random=True only for tests.")
 
         @jax.jit
         def _embed(variables, images):

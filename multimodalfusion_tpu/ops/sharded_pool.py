@@ -23,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from multimodalfusion_tpu.ops.mil_attention import (AttnParams, NEG_INF,
                                                     attention_scores)
@@ -46,11 +45,11 @@ def sharded_attention_pool(h, mask, params: AttnParams, gated: bool,
         acc = jax.lax.psum(jnp.einsum("bn,bnd->bd", p, h_l), axis)
         return acc / jnp.maximum(l, 1e-30)[:, None]
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(None, axis, None), P(None, axis), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(h, mask, params)
 

@@ -48,6 +48,25 @@ def test_intersect_slices():
     np.testing.assert_array_equal(out[:, :3], f1[1:])
 
 
+def test_intersect_slices_id_exact_alignment():
+    """Modalities storing slices in different orders must still pair rows
+    by slice id, not by position (the reference's mask recipe misaligns)."""
+    ids1 = np.array([3, 1, 2])
+    ids2 = np.array([1, 2, 3, 9])
+    f1 = np.array([[30.0], [10.0], [20.0]])   # value = 10 * id
+    f2 = np.array([[1.0], [2.0], [3.0], [9.0]])  # value = id
+    out, common = intersect_slices([f1, f2], [ids1, ids2], return_ids=True)
+    np.testing.assert_array_equal(common, [1, 2, 3])
+    np.testing.assert_array_equal(out,
+                                  [[10.0, 1.0], [20.0, 2.0], [30.0, 3.0]])
+
+
+def test_intersect_slices_rejects_duplicates():
+    f = np.zeros((3, 2))
+    with pytest.raises(ValueError, match="duplicate"):
+        intersect_slices([f, f], [np.array([1, 1, 2]), np.array([1, 2, 3])])
+
+
 def test_dataset_binning_and_dicts(store):
     root, csv_path, df = store
     ds = SurvivalDataset(csv_path, mode="omic", data_dir=root, n_bins=4)
@@ -168,6 +187,46 @@ def test_prefetch_propagates_errors():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="loader died"):
         next(it)
+
+
+def test_probe_present_matches_full_load(store):
+    """usable_indices now filters via probe_present (file existence only);
+    it must agree with the presence flags the full loader computes."""
+    root, csv_path, df = store
+    victim = df["subject_id"].iloc[2]
+    os.rename(os.path.join(root, "radio_h5_files", "T2", f"{victim}.h5"),
+              os.path.join(root, "radio_h5_files", "T2", f"{victim}.h5.bak"))
+    try:
+        ds = SurvivalDataset(csv_path, mode="radio_path_omic",
+                             data_dir=root, n_bins=4)
+        split = ds.whole_split()
+        for i in range(len(split)):
+            probed = split.probe_present(i)
+            loaded = split.get_sample(i).present
+            assert probed == loaded, f"mismatch at {i}"
+        assert not split.probe_present(2)["radio"]
+        assert 2 not in usable_indices(split)
+    finally:
+        os.rename(
+            os.path.join(root, "radio_h5_files", "T2", f"{victim}.h5.bak"),
+            os.path.join(root, "radio_h5_files", "T2", f"{victim}.h5"))
+
+
+def test_probe_present_reads_no_bytes(store, monkeypatch):
+    """The probe must be pure metadata: no h5/pt payload reads."""
+    from multimodalfusion_tpu.data import io as io_mod
+    root, csv_path, df = store
+
+    def _boom(*a, **k):
+        raise AssertionError("probe_present must not load arrays")
+
+    monkeypatch.setattr(io_mod, "load_features_h5", _boom)
+    monkeypatch.setattr(io_mod, "load_pt", _boom)
+    ds = SurvivalDataset(csv_path, mode="radio_path_omic", data_dir=root,
+                         n_bins=4)
+    split = ds.whole_split()
+    idx = usable_indices(split)
+    assert len(idx) == len(df)
 
 
 def test_make_splits_disjoint_folds(tmp_path):

@@ -95,13 +95,27 @@ def test_fit_spatial_pad_and_crop():
 
 
 def test_embedder_shapes_and_padding(rng):
-    emb = Embedder(batch_size=8, image_size=64)
+    emb = Embedder(batch_size=8, image_size=64, allow_random=True)
     imgs = rng.normal(size=(11, 64, 64, 3)).astype(np.float32)
     out = emb.embed_images(imgs)
     assert out.shape == (11, 1024)
     # padded tail must not affect the first chunk's outputs
     out2 = emb.embed_images(imgs[:8])
     np.testing.assert_allclose(out[:8], out2, rtol=1e-4, atol=1e-5)
+
+
+def test_embedder_refuses_random_without_optin():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ResNet50 weights"):
+        Embedder(batch_size=8, image_size=64)
+
+
+def test_embedder_warns_on_random_optin():
+    import warnings as _warnings
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        Embedder(batch_size=8, image_size=64, allow_random=True)
+    assert any("RANDOMLY initialized" in str(w.message) for w in rec)
 
 
 def test_feature_extraction_cli(tmp_path):
@@ -125,7 +139,8 @@ def test_feature_extraction_cli(tmp_path):
 
     rc = fx_main(["--radio_dir", str(radio_dir), "--csv_path", str(csv_path),
                   "--output_dir", str(tmp_path / "out"),
-                  "--cancer_type", "glioma", "--batch_size", "8"])
+                  "--cancer_type", "glioma", "--batch_size", "8",
+                  "--allow_random_weights"])
     assert rc == 0
     h5 = tmp_path / "out" / "glioma" / "radio_h5_files" / "T1" / "S1.h5"
     assert h5.exists()
@@ -178,7 +193,8 @@ def test_embedder_data_parallel_mesh(rng):
     imgs = rng.normal(size=(16, 64, 64, 3)).astype(np.float32)
     # f32 so sharded vs unsharded reduction order is exact to tolerance
     # (bf16 convs differ by ~1 ulp when the batch partitioning changes)
-    base = Embedder(batch_size=8, image_size=64, dtype=jnp.float32)
+    base = Embedder(batch_size=8, image_size=64, dtype=jnp.float32,
+                    allow_random=True)
     sharded = Embedder(batch_size=8, image_size=64, dtype=jnp.float32,
                        variables=base.variables, mesh=make_mesh())
     np.testing.assert_allclose(sharded.embed_images(imgs),
@@ -205,7 +221,7 @@ def test_feature_extraction_cli_data_parallel(tmp_path):
     rc = fx_main(["--radio_dir", str(radio_dir), "--csv_path", str(csv_path),
                   "--output_dir", str(tmp_path / "out"),
                   "--cancer_type", "glioma", "--batch_size", "8",
-                  "--data_parallel"])
+                  "--data_parallel", "--allow_random_weights"])
     assert rc == 0
     feats, sids = load_features_h5(
         str(tmp_path / "out" / "glioma" / "radio_h5_files" / "T1" / "S1.h5"))

@@ -37,10 +37,17 @@ def test_gradcam_cli(tmp_path):
     scan = str(b / "scan.nii.gz")
     write_nifti(scan, vol, origin_lps=(0.0, -239.0, 0.0))
 
+    # no --weights and no override must refuse loudly (the CAM volume
+    # would be noise from a randomly initialized ResNet)
     rc = gc_main(["--scan", scan, "--ckpt_path", str(exp),
                   "--which_k", "0", "--modality", "T1",
                   "--save_dir", str(b / "cam"), "--image_size", "96",
                   "--top_frac", "0.4"])
+    assert rc == 2
+    rc = gc_main(["--scan", scan, "--ckpt_path", str(exp),
+                  "--which_k", "0", "--modality", "T1",
+                  "--save_dir", str(b / "cam"), "--image_size", "96",
+                  "--top_frac", "0.4", "--allow_random_weights"])
     assert rc == 0
     cam_vol = read_nifti(str(b / "cam" / "cam_volume.nii.gz"))
     assert cam_vol.data.shape[0] == 6  # one CAM per kept slice
@@ -60,7 +67,7 @@ def test_gradcam_cli(tmp_path):
     rc = gc_main(["--scan", lscan, "--ckpt_path", str(exp),
                   "--which_k", "0", "--cancer_type", "lung",
                   "--save_dir", str(b / "cam_lung"), "--image_size", "96",
-                  "--top_frac", "0.5"])
+                  "--top_frac", "0.5", "--allow_random_weights"])
     assert rc == 0
     lung_cam = read_nifti(str(b / "cam_lung" / "cam_volume.nii.gz")).data
     assert lung_cam.shape[0] > 0 and np.isfinite(lung_cam).all()

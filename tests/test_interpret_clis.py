@@ -157,7 +157,7 @@ def test_heatmap_path_branch(trained, tmp_path):
                   "--data_slide_dir", str(slides_dir),
                   "--feat_dir", str(tmp_path / "wsifeat"),
                   "--slide_ext", ".tiff", "--batch_size", "16",
-                  "--target_patch_size", "128"])
+                  "--target_patch_size", "128", "--allow_random_weights"])
     assert rc == 0
 
     # reuse the trained path model from the pipeline store: train quickly
@@ -184,7 +184,8 @@ def test_heatmap_path_branch(trained, tmp_path):
         "patching_arguments": {"patch_size": 256, "a_t": 0.5,
                                "a_h": 0.05, "batch_size": 16,
                                "target_patch_size": 128},
-        "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+        "model_arguments": {"ckpt_path": str(exp), "which_k": 0,
+                            "allow_random_weights": True},
         "heatmap_arguments": {"alpha": 0.4, "cmap": "coolwarm",
                               "overlap": 0.5},
         "sample_arguments": {"floor": 4, "save_n": 3},

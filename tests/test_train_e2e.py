@@ -202,6 +202,31 @@ def test_data_parallel_training(cohort):
     assert summary["val_cindex"].iloc[0] > 0.70, summary
 
 
+def test_data_parallel_matches_unsharded(cohort):
+    """Batch-axis sharding is a layout change, not a math change: a fold
+    trained with --data_parallel on the 8-device mesh must reproduce the
+    unsharded fold's losses and c-index (same seed)."""
+    import json
+    common = ["--model_type", "max_net", "--mode", "omic",
+              "--bag_loss", "cox_surv", "--batch_size", "16",
+              "--max_epochs", "3", "--lr", "1e-3", "--k", "1"]
+    base = _run(cohort, common, results_sub="results_dp_base")
+    dp = _run(cohort, common + ["--data_parallel"],
+              results_sub="results_dp_match")
+    s_base = pd.read_csv(next(base.iterdir()) / "summary.csv")
+    s_dp = pd.read_csv(next(dp.iterdir()) / "summary.csv")
+    np.testing.assert_allclose(s_dp["val_cindex"].values,
+                               s_base["val_cindex"].values, atol=1e-6)
+    log_base = [json.loads(l) for l in (next(base.iterdir()) / "0" /
+                "metrics.jsonl").read_text().splitlines()]
+    log_dp = [json.loads(l) for l in (next(dp.iterdir()) / "0" /
+              "metrics.jsonl").read_text().splitlines()]
+    for a, b in zip(log_base, log_dp):
+        np.testing.assert_allclose(b["train_loss"], a["train_loss"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(b["val_loss"], a["val_loss"], rtol=1e-4)
+
+
 def test_data_parallel_with_grad_accum(cohort):
     """gc>1 (optax.MultiSteps) composes with batch-axis sharding."""
     out_root = _run(cohort, ["--model_type", "max_net", "--mode", "omic",

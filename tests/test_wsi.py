@@ -140,7 +140,8 @@ def test_patching_and_feature_cli(tmp_path, slide):
     rc = fx_main(["--data_h5_dir", str(save_dir),
                   "--data_slide_dir", str(slides_dir),
                   "--feat_dir", str(feat_dir), "--batch_size", "16",
-                  "--slide_ext", ".tiff", "--target_patch_size", "128"])
+                  "--slide_ext", ".tiff", "--target_patch_size", "128",
+                  "--allow_random_weights"])
     assert rc == 0
     bag = load_pt(str(feat_dir / "path_pt_files" / "CASE1.pt"))
     assert bag.shape == (n, 1024)
