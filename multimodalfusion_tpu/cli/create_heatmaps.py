@@ -85,11 +85,47 @@ def _load_model(model_args, batch_template, which_k=0):
     return model, variables, cfg, settings
 
 
+def _embedder_from_config(m, p):
+    from multimodalfusion_tpu.extract.features import Embedder
+    return Embedder(
+        weights_path=getattr(m, "resnet_weights", None),
+        batch_size=int(getattr(p, "batch_size", 128)),
+        image_size=int(getattr(p, "target_patch_size", 224)),
+        allow_random=bool(getattr(m, "allow_random_weights", False)))
+
+
+def _extract_missing_features(slide, feat_h5, tissue, holes, embedder,
+                              patch_size, patch_level=0):
+    """Segment -> patch -> embed a bare slide into a features h5 when none
+    exists (ref heatmap_utils.process_single_slide :288-411 falls back to
+    compute_from_patches when the h5 is absent)."""
+    from multimodalfusion_tpu.data.io import save_hdf5
+    from multimodalfusion_tpu.data.wsi import process_contours, read_patches
+    coords, _ = process_contours(slide, tissue, holes,
+                                 patch_level=patch_level,
+                                 patch_size=patch_size,
+                                 step_size=patch_size)
+    if len(coords) == 0:
+        raise ValueError("no tissue patches found for on-the-fly "
+                         "feature extraction")
+    patches = read_patches(slide, coords, patch_level, patch_size)
+    if patches.shape[1] != embedder.image_size:
+        patches = np.stack([
+            cv2.resize(pch, (embedder.image_size, embedder.image_size))
+            for pch in patches])
+    feats = embedder.embed_images(patches)
+    ensure_dir(os.path.dirname(feat_h5))
+    save_hdf5(feat_h5, {"features": feats.astype(np.float32),
+                        "coords": np.asarray(coords, np.int64)}, mode="w")
+    return feats, np.asarray(coords)
+
+
 def run_path_branch(cfg_ns) -> int:
     d = cfg_ns.data_arguments
     m = cfg_ns.model_arguments
     h = cfg_ns.heatmap_arguments
     s = getattr(cfg_ns, "sample_arguments", SimpleNamespace())
+    p = cfg_ns.patching_arguments
     save_dir = ensure_dir(cfg_ns.exp_arguments.save_dir)
 
     process_df = pd.read_csv(d.process_list)
@@ -101,49 +137,98 @@ def run_path_branch(cfg_ns) -> int:
              "c": np.zeros(1, np.float32), "valid": np.ones(1, np.float32)}
     model, variables, cfg, settings = _load_model(
         m, dummy, which_k=getattr(m, "which_k", 0))
+    segment = bool(getattr(h, "segment", True))  # ref always segments
+    embedder = None
     for _, row in process_df.iterrows():
         slide_file = row["slide_id"]
         stem = os.path.splitext(slide_file)[0]
         slide = wsi_mod.open_slide(os.path.join(d.data_dir, slide_file))
+        patch_size = int(getattr(p, "patch_size", 256))
+
+        # tissue contours: needed for the masked colormap and for on-miss
+        # extraction (lazily computed, at most once per slide)
+        tissue = holes = None
+
+        def _contours():
+            nonlocal tissue, holes
+            if tissue is None:
+                tissue, holes = wsi_mod.segment_tissue(
+                    slide, seg_level=getattr(p, "seg_level", None),
+                    a_t=float(getattr(p, "a_t", 100.0)),
+                    a_h=float(getattr(p, "a_h", 16.0)))
+            return tissue, holes
+
         feat_h5 = os.path.join(d.feat_dir, "h5_files", f"{stem}.h5")
-        with h5py.File(feat_h5, "r") as f:
-            feats = f["features"][:]
-            coords = f["coords"][:]
+        if os.path.isfile(feat_h5):
+            with h5py.File(feat_h5, "r") as f:
+                feats = f["features"][:]
+                coords = f["coords"][:]
+        else:
+            # on-miss inline segment -> patch -> embed
+            # (ref heatmap_utils.py:288-411)
+            print(f"{stem}: features h5 missing, extracting inline")
+            if embedder is None:
+                embedder = _embedder_from_config(m, p)
+            feats, coords = _extract_missing_features(
+                slide, feat_h5, *_contours(), embedder, patch_size)
         bag = jnp.asarray(feats)[None]
         mask = jnp.ones((1, bag.shape[1]), jnp.float32)
         scores = np.asarray(model.apply(
             variables, bags=bag, mask=mask, deterministic=True,
             attention_only=True))[0]
-        patch_size = int(getattr(cfg_ns.patching_arguments, "patch_size",
-                                 256))
+
+        # blockmap h5: coarse attention + coords for downstream tools
+        # (ref create_heatmaps.py:306-309)
+        from multimodalfusion_tpu.data.io import save_hdf5
+        blockmap = os.path.join(save_dir, f"{stem}_blockmap.h5")
+        if not os.path.isfile(blockmap):
+            save_hdf5(blockmap,
+                      {"attention_scores": scores.astype(np.float32),
+                       "coords": np.asarray(coords, np.int64)}, mode="w")
+
+        seg_kwargs = {}
+        if segment:
+            t, hl = _contours()
+            seg_kwargs = dict(segment=True, tissue=t, holes=hl,
+                              use_holes=bool(getattr(h, "use_holes", True)))
+        vis_level = getattr(h, "vis_level", None)
+        if vis_level is not None and int(vis_level) < 0:
+            vis_level = None
         heat = draw_heatmap(slide, scores, coords, patch_size=patch_size,
+                            vis_level=vis_level,
                             alpha=float(getattr(h, "alpha", 0.4)),
                             blur=bool(getattr(h, "blur", False)),
-                            use_percentiles=True,
-                            cmap=getattr(h, "cmap", "coolwarm"))
-        out = os.path.join(save_dir, f"{stem}_heatmap.jpg")
+                            use_percentiles=not bool(
+                                getattr(h, "use_ref_scores", False)),
+                            binarize=bool(getattr(h, "binarize", False)),
+                            threshold=float(getattr(h, "binary_thresh",
+                                                    -1.0)),
+                            blank_canvas=bool(getattr(h, "blank_canvas",
+                                                      False)),
+                            custom_downsample=int(getattr(
+                                h, "custom_downsample", 1)),
+                            cmap=getattr(h, "cmap", "coolwarm"),
+                            **seg_kwargs)
+        ext = getattr(h, "save_ext", "jpg")
+        out = os.path.join(save_dir, f"{stem}_heatmap.{ext}")
         cv2.imwrite(out, cv2.cvtColor(heat, cv2.COLOR_RGB2BGR))
         print(f"{stem}: heatmap -> {out}")
+        if bool(getattr(h, "save_orig", False)):
+            vl = vis_level if vis_level is not None \
+                else slide.level_count - 1
+            orig = slide.read_region((0, 0), vl,
+                                     slide.level_dimensions[vl])
+            cv2.imwrite(os.path.join(save_dir, f"{stem}_orig.{ext}"),
+                        cv2.cvtColor(orig, cv2.COLOR_RGB2BGR))
 
         # optional fine heatmap at overlapping stride (ref
         # heatmap_utils.compute_from_patches at overlap 0.75)
         overlap = float(getattr(h, "overlap", 0.0) or 0.0)
         if overlap > 0:
-            from multimodalfusion_tpu.data import wsi as wsi_mod2
-            from multimodalfusion_tpu.extract.features import Embedder
             from multimodalfusion_tpu.interpret.heatmaps import \
                 compute_fine_scores
-            p = cfg_ns.patching_arguments
-            tissue, holes = wsi_mod2.segment_tissue(
-                slide, seg_level=None,
-                a_t=float(getattr(p, "a_t", 100.0)),
-                a_h=float(getattr(p, "a_h", 16.0)))
-            embedder = Embedder(
-                weights_path=getattr(m, "resnet_weights", None),
-                batch_size=int(getattr(p, "batch_size", 128)),
-                image_size=int(getattr(p, "target_patch_size", 224)),
-                allow_random=bool(getattr(m, "allow_random_weights",
-                                          False)))
+            if embedder is None:
+                embedder = _embedder_from_config(m, p)
 
             def score_fn(feats):
                 import jax.numpy as _jnp
@@ -154,7 +239,7 @@ def run_path_branch(cfg_ns) -> int:
                                    attention_only=True)[0]
 
             fscores, fcoords = compute_fine_scores(
-                slide, tissue, holes, embedder, score_fn,
+                slide, *_contours(), embedder, score_fn,
                 patch_size=patch_size, overlap=overlap)
             if len(fcoords):
                 fine = draw_heatmap(slide, fscores, fcoords,
@@ -239,10 +324,15 @@ def run_radio_branch(cfg_ns) -> int:
     # (ref create_heatmaps.py:604-659, heatmap_utils.radio_img :177-226)
     scan_csv = getattr(d, "scan_list", None)
     if scan_csv:
-        from multimodalfusion_tpu.data.radiology import \
-            preprocess_glioma_scan
+        from multimodalfusion_tpu.data.radiology import (
+            preprocess_glioma_scan, preprocess_lung_scan)
         scans = pd.read_csv(scan_csv).set_index("subject_id")
         display_mod = getattr(d, "display_modality", modalities[0])
+        # lung CT re-preprocessing for display mirrors the feature path
+        # (ref heatmap_utils.radio_img :177-226: MRI flip-to-standard vs
+        # CT HU->resample->lungmask->crop->normalize)
+        is_ct = (getattr(d, "cancer_type", "glioma") == "lung"
+                 or display_mod == "CT")
         for subject, grp in scores_df.groupby("subject_id"):
             if subject not in scans.index or \
                     display_mod not in scans.columns:
@@ -250,7 +340,10 @@ def run_radio_branch(cfg_ns) -> int:
             path = os.path.join(getattr(d, "scan_dir", "."),
                                 str(scans.loc[subject, display_mod]))
             try:
-                slices, slice_ids = preprocess_glioma_scan(path)
+                if is_ct:
+                    slices, slice_ids = preprocess_lung_scan(path)
+                else:
+                    slices, slice_ids = preprocess_glioma_scan(path)
             except (OSError, ValueError) as e:
                 print(f"cannot render {subject}: {e}")
                 continue
@@ -333,7 +426,20 @@ def run_omic_branch(cfg_ns) -> int:
     fig.tight_layout()
     fig.savefig(os.path.join(save_dir, "omic_attr_global.png"), dpi=150)
     plt.close(fig)
-    print(f"wrote omic attributions -> {save_dir}")
+
+    # per-patient local explanation plots (ref getIndividualSHAP,
+    # evaluation.py:1374-1405, driven by create_heatmaps.py:214)
+    h = getattr(cfg_ns, "heatmap_arguments", SimpleNamespace())
+    n_local = getattr(h, "local_n", None)
+    from multimodalfusion_tpu.interpret.explanations import local_attr_plots
+    local_dir = ensure_dir(os.path.join(save_dir, "local"))
+    genomics = np.asarray(batch["genomic"])[valid]
+    paths = local_attr_plots(
+        attr, genomics, np.asarray(subject_ids)[valid], genes, local_dir,
+        max_display=int(getattr(h, "max_display", 20)),
+        n_patients=int(n_local) if n_local is not None else None)
+    print(f"wrote omic attributions ({len(paths)} local plots) "
+          f"-> {save_dir}")
     return 0
 
 

@@ -15,50 +15,178 @@ def to_percentiles(scores: np.ndarray) -> np.ndarray:
     return rankdata(scores, "average") / len(scores) * 100
 
 
+def screen_coords(scores: np.ndarray, coords: np.ndarray, top_left,
+                  bot_right):
+    """Keep (score, coord) pairs inside the level-0 bbox
+    (ref wsi_utils.py:164-169)."""
+    mask = np.logical_and(np.all(coords >= np.asarray(top_left), axis=1),
+                          np.all(coords <= np.asarray(bot_right), axis=1))
+    return scores[mask], coords[mask]
+
+
+def get_seg_mask(region_size, scale, tissue, holes, use_holes: bool = True,
+                 offset=(0, 0)) -> np.ndarray:
+    """Rasterize level-0 tissue contours into a boolean foreground mask at
+    the vis scale (ref WholeSlideImage.get_seg_mask :794-811): contours
+    drawn filled, largest-first, with their holes carved out."""
+    w, h = region_size
+    mask = np.zeros((h, w), np.uint8)
+    sx, sy = scale
+    t_scaled = [np.array(c * np.array([sx, sy]), np.int32) for c in tissue]
+    h_scaled = [[np.array(c * np.array([sx, sy]), np.int32) for c in hs]
+                for hs in holes]
+    off = (int(-offset[0] * sx), int(-offset[1] * sy))
+    order = sorted(range(len(t_scaled)),
+                   key=lambda i: cv2.contourArea(t_scaled[i]), reverse=True)
+    for i in order:
+        cv2.drawContours(mask, t_scaled, contourIdx=i, color=1,
+                         offset=off, thickness=-1)
+        if use_holes and i < len(h_scaled):
+            cv2.drawContours(mask, h_scaled[i], contourIdx=-1, color=0,
+                             offset=off, thickness=-1)
+    return mask.astype(bool)
+
+
+def block_blend(slide, img: np.ndarray, vis_level: int, top_left, bot_right,
+                alpha: float, blank_canvas: bool = False,
+                canvas_color=(255, 255, 255),
+                block_size: int = 1024) -> np.ndarray:
+    """Alpha-blend the heatmap-written image with the (re-read) slide in
+    bounded blocks (ref WholeSlideImage.block_blending :752-791) — the
+    canvas for a gigapixel slide is never materialized twice."""
+    ds = slide.level_downsamples[vis_level]
+    h, w = img.shape[:2]
+    bx, by = min(block_size, w), min(block_size, h)
+    for x0 in range(int(top_left[0]), int(bot_right[0]), bx * int(ds[0])):
+        for y0 in range(int(top_left[1]), int(bot_right[1]),
+                        by * int(ds[1])):
+            xi = int((x0 - top_left[0]) / int(ds[0]))
+            yi = int((y0 - top_left[1]) / int(ds[1]))
+            xe, ye = min(w, xi + bx), min(h, yi + by)
+            if xe == xi or ye == yi:
+                continue
+            blk = img[yi:ye, xi:xe]
+            if blank_canvas:
+                canvas = np.full((ye - yi, xe - xi, 3), canvas_color,
+                                 np.uint8)
+            else:
+                canvas = slide.read_region((x0, y0), vis_level,
+                                           (xe - xi, ye - yi))
+            img[yi:ye, xi:xe] = cv2.addWeighted(blk, alpha, canvas,
+                                                1 - alpha, 0)
+    return img
+
+
 def draw_heatmap(slide, scores: np.ndarray, coords: np.ndarray,
                  patch_size: int = 256, patch_level: int = 0,
                  vis_level: Optional[int] = None, alpha: float = 0.4,
-                 blur: bool = False, use_percentiles: bool = True,
+                 blur: bool = False, overlap: float = 0.0,
+                 use_percentiles: bool = True,
                  binarize: bool = False, threshold: float = 0.5,
-                 cmap: str = "coolwarm") -> np.ndarray:
+                 cmap: str = "coolwarm",
+                 segment: bool = False, tissue=None, holes=None,
+                 use_holes: bool = True,
+                 blank_canvas: bool = False,
+                 canvas_color=(255, 255, 255),
+                 adjust: float = 0.0,
+                 custom_downsample: int = 1,
+                 max_size: Optional[int] = None,
+                 top_left=None, bot_right=None,
+                 block_size: int = 1024) -> np.ndarray:
     """Overlap-averaged attention overlay on the downscaled slide.
 
-    Mirrors ref visHeatmap: accumulate score + counter per pixel across
-    (possibly overlapping) patches, average, percentile-normalize,
-    colormap, alpha-blend with the tissue image.
+    Full-fidelity rewrite of ref visHeatmap (WholeSlideImage.py:562-749),
+    vectorized over patches instead of the reference's per-patch python
+    loops: accumulate score + counter per pixel, average, colormap, write
+    color only on tissue (``segment`` + level-0 ``tissue``/``holes``
+    contours, ref get_seg_mask :794), block-blend with the slide
+    (:752), then ``custom_downsample``/``max_size`` resizes (:741-748).
     """
     from matplotlib import colormaps
     if vis_level is None:
         vis_level = slide.level_count - 1
     ds = slide.level_downsamples[vis_level]
-    w, h = slide.level_dimensions[vis_level]
+    scale = (1.0 / ds[0], 1.0 / ds[1])
     scores = np.asarray(scores, np.float64).reshape(-1)
+    coords = np.asarray(coords)
+
+    if binarize:
+        thr = 1.0 / len(scores) if threshold < 0 else threshold
+    else:
+        thr = 0.0
+
+    if top_left is not None and bot_right is not None:
+        scores, coords = screen_coords(scores, coords, top_left, bot_right)
+        coords = coords - np.asarray(top_left)
+        w = int(bot_right[0] * scale[0]) - int(top_left[0] * scale[0])
+        h = int(bot_right[1] * scale[1]) - int(top_left[1] * scale[1])
+    else:
+        w, h = slide.level_dimensions[vis_level]
+        top_left = (0, 0)
+        bot_right = slide.level_dimensions[0]
+
     if use_percentiles:
         scores = to_percentiles(scores) / 100.0
+    if adjust != 0.0:
+        scores = np.clip(scores + adjust, 0.0, 1.0)
 
+    pds = slide.level_downsamples[patch_level]
+    ps_vis = (max(int(np.ceil(patch_size * pds[0] * scale[0])), 1),
+              max(int(np.ceil(patch_size * pds[1] * scale[1])), 1))
     overlay = np.zeros((h, w), np.float64)
     counter = np.zeros((h, w), np.uint16)
-    pds = slide.level_downsamples[patch_level]
-    ps_vis = (max(int(patch_size * pds[0] / ds[0]), 1),
-              max(int(patch_size * pds[1] / ds[1]), 1))
+    pass_counter = np.zeros((h, w), np.uint16)  # covered by >=1 passing patch
     for s, (x, y) in zip(scores, coords):
-        cx, cy = int(x / ds[0]), int(y / ds[1])
+        cx = int(np.ceil(x * scale[0]))
+        cy = int(np.ceil(y * scale[1]))
+        passing = s >= thr
         if binarize:
-            s = 1.0 if s >= threshold else 0.0
+            s = 1.0 if passing else 0.0
+        elif not passing:
+            s = 0.0
         overlay[cy:cy + ps_vis[1], cx:cx + ps_vis[0]] += s
         counter[cy:cy + ps_vis[1], cx:cx + ps_vis[0]] += 1
+        if passing:
+            pass_counter[cy:cy + ps_vis[1], cx:cx + ps_vis[0]] += 1
     seen = counter > 0
     overlay[seen] /= counter[seen]
+    if binarize:
+        overlay[seen] = np.around(overlay[seen])
 
-    img = slide.read_region((0, 0), vis_level, (w, h)).copy()
-    if blur:
-        k = (ps_vis[0] * 2 + 1, ps_vis[1] * 2 + 1)
-        overlay = cv2.GaussianBlur(overlay, k, 0)
+    if blank_canvas:
+        img = np.full((h, w, 3), canvas_color, np.uint8)
+    else:
+        img = slide.read_region(tuple(top_left), vis_level, (w, h)).copy()
+
+    colored = pass_counter > 0
+    if segment and tissue is not None:
+        tissue_mask = get_seg_mask((w, h), scale, tissue, holes or [],
+                                   use_holes=use_holes,
+                                   offset=tuple(top_left))
+        colored &= tissue_mask
     cm_fn = colormaps[cmap]
     heat = (cm_fn(np.clip(overlay, 0, 1))[..., :3] * 255).astype(np.uint8)
-    blended = img.copy()
-    blended[seen] = cv2.addWeighted(img, 1 - alpha, heat, alpha, 0)[seen]
-    return blended
+    img[colored] = heat[colored]
+
+    if blur:
+        k = (int(ps_vis[0] * (1 - overlap)) * 2 + 1,
+             int(ps_vis[1] * (1 - overlap)) * 2 + 1)
+        img = cv2.GaussianBlur(img, k, 0)
+
+    if alpha < 1.0:
+        img = block_blend(slide, img, vis_level, top_left, bot_right,
+                          alpha=alpha, blank_canvas=blank_canvas,
+                          canvas_color=canvas_color, block_size=block_size)
+
+    if custom_downsample > 1:
+        img = cv2.resize(img, (w // custom_downsample,
+                               h // custom_downsample))
+    if max_size is not None and (img.shape[1] > max_size
+                                 or img.shape[0] > max_size):
+        f = max_size / max(img.shape[1], img.shape[0])
+        img = cv2.resize(img, (int(img.shape[1] * f),
+                               int(img.shape[0] * f)))
+    return img
 
 
 def sample_rois(scores: np.ndarray, coords: np.ndarray, k: int = 5,

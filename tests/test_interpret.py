@@ -99,6 +99,120 @@ def test_draw_heatmap_and_sampling():
     assert heatmaps.dynamic_k(1000) == 200
 
 
+def test_draw_heatmap_tissue_mask_clips_colormap():
+    """segment=True writes heatmap color only inside the tissue contours
+    (ref visHeatmap's get_seg_mask clipping): a patch spanning background
+    keeps the raw slide pixels outside tissue, differs inside."""
+    from multimodalfusion_tpu.data import wsi
+    slide = wsi.synthetic_slide(1024, 768, n_blobs=1, seed=7)
+    tissue, holes = wsi.segment_tissue(slide, a_t=0.1, a_h=0.05)
+    assert tissue, "fixture must segment at least one contour"
+    # one patch per grid cell covering the whole slide at level 0
+    xs, ys = np.meshgrid(np.arange(0, 1024, 256), np.arange(0, 768, 256))
+    coords = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    scores = np.linspace(0.1, 0.9, len(coords))
+    vis_level = 2
+    base = slide.read_region((0, 0), vis_level,
+                             slide.level_dimensions[vis_level])
+    masked = heatmaps.draw_heatmap(slide, scores, coords, patch_size=256,
+                                   vis_level=vis_level, alpha=1.0,
+                                   segment=True, tissue=tissue, holes=holes)
+    unmasked = heatmaps.draw_heatmap(slide, scores, coords, patch_size=256,
+                                     vis_level=vis_level, alpha=1.0,
+                                     segment=False)
+    scale = (1.0 / slide.level_downsamples[vis_level][0],
+             1.0 / slide.level_downsamples[vis_level][1])
+    w, h = slide.level_dimensions[vis_level]
+    seg = heatmaps.get_seg_mask((w, h), scale, tissue, holes)
+    assert 0 < seg.sum() < seg.size
+    # outside tissue: masked == raw slide, while the unmasked render colors
+    # everything patch-covered
+    np.testing.assert_array_equal(masked[~seg], base[~seg])
+    assert (unmasked[~seg] != base[~seg]).any()
+    # inside tissue both renders show the colormap
+    np.testing.assert_array_equal(masked[seg], unmasked[seg])
+    assert (masked[seg] != base[seg]).any()
+
+
+def test_draw_heatmap_block_blending_matches_global():
+    """block_blend (bounded-memory canvas blending, ref :752) must equal a
+    single global addWeighted for a slide that fits in one block."""
+    import cv2
+    from multimodalfusion_tpu.data import wsi
+    slide = wsi.synthetic_slide(512, 384, n_blobs=2, seed=1)
+    coords = np.array([[0, 0], [256, 0], [0, 192], [256, 192]])
+    scores = np.array([0.2, 0.8, 0.5, 0.9])
+    small_blocks = heatmaps.draw_heatmap(
+        slide, scores, coords, patch_size=256, vis_level=1, alpha=0.4,
+        block_size=40)
+    one_block = heatmaps.draw_heatmap(
+        slide, scores, coords, patch_size=256, vis_level=1, alpha=0.4,
+        block_size=4096)
+    np.testing.assert_array_equal(small_blocks, one_block)
+
+
+def test_draw_heatmap_custom_downsample_and_max_size():
+    from multimodalfusion_tpu.data import wsi
+    slide = wsi.synthetic_slide(1024, 768, n_blobs=1, seed=2)
+    coords = np.array([[0, 0], [256, 256]])
+    scores = np.array([0.3, 0.8])
+    img = heatmaps.draw_heatmap(slide, scores, coords, vis_level=1,
+                                custom_downsample=2)
+    assert img.shape[:2] == (768 // 2 // 2, 1024 // 2 // 2)
+    img = heatmaps.draw_heatmap(slide, scores, coords, vis_level=1,
+                                max_size=100)
+    assert max(img.shape[:2]) == 100
+
+
+def test_draw_heatmap_binarize_and_blank_canvas():
+    from multimodalfusion_tpu.data import wsi
+    slide = wsi.synthetic_slide(512, 512, n_blobs=1, seed=4)
+    coords = np.array([[0, 0], [256, 256]])
+    scores = np.array([0.1, 0.9])
+    img = heatmaps.draw_heatmap(slide, scores, coords, vis_level=1,
+                                alpha=1.0, blank_canvas=True,
+                                use_percentiles=False,
+                                binarize=True, threshold=0.5)
+    # low-score patch fails the cutoff: stays canvas white
+    assert (img[10, 10] == [255, 255, 255]).all()
+    # high-score patch is colored
+    assert (img[200, 200] != [255, 255, 255]).any()
+
+
+def test_local_attr_plot_writes_pngs(tmp_path):
+    """Per-patient signed-attribution bar plots (local SHAP stand-in)."""
+    from multimodalfusion_tpu.interpret.explanations import (
+        local_attr_plot, local_attr_plots)
+    rng = np.random.default_rng(0)
+    attr = rng.normal(size=(6, 10))
+    feats = rng.normal(size=(6, 10))
+    genes = [f"g{i}_cnv" for i in range(10)]
+    p = local_attr_plot(attr[0], feats[0], feats, genes,
+                        str(tmp_path / "one.png"), max_display=5)
+    assert (tmp_path / "one.png").stat().st_size > 1000
+    # constant feature column must not crash the color normalization
+    feats_const = feats.copy()
+    feats_const[:, 3] = 1.0
+    local_attr_plot(attr[1], feats_const[1], feats_const, genes,
+                    str(tmp_path / "const.png"))
+    out = local_attr_plots(attr, feats, [f"P{i}" for i in range(6)], genes,
+                           str(tmp_path / "local"), n_patients=2)
+    assert len(out) == 2
+    assert all(p.endswith("_local_attr.png") for p in out)
+
+
+def test_draw_heatmap_roi_screening():
+    """top_left/bot_right restrict the render to the bbox and drop outside
+    patches (ref screen_coords)."""
+    from multimodalfusion_tpu.data import wsi
+    slide = wsi.synthetic_slide(1024, 768, n_blobs=1, seed=5)
+    coords = np.array([[0, 0], [256, 256], [768, 512]])
+    scores = np.array([0.2, 0.9, 0.5])
+    img = heatmaps.draw_heatmap(slide, scores, coords, vis_level=1,
+                                top_left=(256, 256), bot_right=(768, 768))
+    assert img.shape[:2] == (256, 256)
+
+
 # ---------------------------------------------------------------------------
 # analysis / reporting
 # ---------------------------------------------------------------------------

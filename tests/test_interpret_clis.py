@@ -78,6 +78,7 @@ def test_heatmap_omic_branch(trained, tmp_path):
                           "save_dir": str(tmp_path / "hm_omic")},
         "data_arguments": {},
         "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+        "heatmap_arguments": {"local_n": 3, "max_display": 8},
     }
     cfg_path = tmp_path / "omic.yaml"
     cfg_path.write_text(yaml.safe_dump(config))
@@ -88,6 +89,12 @@ def test_heatmap_omic_branch(trained, tmp_path):
     assert len(g) == 12
     pp = pd.read_csv(tmp_path / "hm_omic" / "omic_attr_per_patient.csv")
     assert "subject_id" in pp.columns
+    # per-patient local waterfall plots (ref getIndividualSHAP)
+    local = list((tmp_path / "hm_omic" / "local").glob("*_local_attr.png"))
+    assert len(local) == 3
+    # plotted subjects must be real per-patient CSV rows
+    plotted = {p.name.replace("_local_attr.png", "") for p in local}
+    assert plotted <= set(pp["subject_id"].astype(str))
 
 
 def test_heatmap_radio_branch(trained, tmp_path):
@@ -195,7 +202,75 @@ def test_heatmap_path_branch(trained, tmp_path):
     rc = hm_main(["--config", str(cfg_path)])
     assert rc == 0
     assert (tmp_path / "hm_path" / "HEAT1_heatmap.jpg").exists()
+    # coarse blockmap h5 (ref create_heatmaps.py:306-309)
+    import h5py
+    with h5py.File(tmp_path / "hm_path" / "HEAT1_blockmap.h5") as f:
+        assert len(f["attention_scores"]) == len(f["coords"])
     # fine heatmap at overlap 0.5 (re-extraction through the embedder)
     assert (tmp_path / "hm_path" / "HEAT1_fine_heatmap.jpg").exists()
     topk = list((tmp_path / "hm_path" / "HEAT1_topk").glob("*.png"))
     assert len(topk) == 3
+
+    # ---- on-miss inline extraction (ref heatmap_utils.py:288-411):
+    # run again against an EMPTY feat_dir — the branch must segment,
+    # patch, embed, and write the h5 itself, then render
+    config["data_arguments"]["feat_dir"] = str(tmp_path / "wsifeat_empty")
+    config["exp_arguments"]["save_dir"] = str(tmp_path / "hm_onmiss")
+    config["heatmap_arguments"] = {"alpha": 0.4, "cmap": "coolwarm",
+                                   "save_orig": True}
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config", str(cfg_path)])
+    assert rc == 0
+    with h5py.File(tmp_path / "wsifeat_empty" / "h5_files" /
+                   "HEAT1.h5") as f:
+        assert f["features"].shape[1] == 1024
+        assert len(f["features"]) == len(f["coords"]) > 3
+    assert (tmp_path / "hm_onmiss" / "HEAT1_heatmap.jpg").exists()
+    assert (tmp_path / "hm_onmiss" / "HEAT1_orig.jpg").exists()
+
+
+def test_heatmap_radio_branch_lung_display(trained, tmp_path):
+    """cancer_type: lung routes the display render through the CT
+    preprocessing (HU -> lung mask -> crop -> normalize), not the glioma
+    MRI path (ref heatmap_utils.radio_img :177-226)."""
+    from multimodalfusion_tpu.data.nifti import write_nifti
+    b, df = trained
+    exp = next((b / "s2r" / "brain" / "2foldcv").iterdir())
+    subjects = df["subject_id"].iloc[:2].tolist()
+    plist = tmp_path / "subjects.csv"
+    pd.DataFrame({"subject_id": subjects}).to_csv(plist, index=False)
+    scan_dir = tmp_path / "scans"
+    os.makedirs(scan_dir)
+    scan_rows = []
+    for s in subjects:
+        # CT lung phantom: air border, two low-HU lung fields in a body
+        vol = np.full((10, 72, 72), 40, np.int16)
+        vol[:, :4, :] = vol[:, -4:, :] = -1000
+        vol[:, :, :4] = vol[:, :, -4:] = -1000
+        vol[2:9, 20:52, 12:32] = -850
+        vol[2:9, 20:52, 40:60] = -850
+        write_nifti(str(scan_dir / f"{s}.nii.gz"), vol.astype(np.float32),
+                    pixdim=(1.0, 1.0, 1.5))
+        scan_rows.append({"subject_id": s, "CT": f"{s}.nii.gz"})
+    scan_list = tmp_path / "scan_list.csv"
+    pd.DataFrame(scan_rows).to_csv(scan_list, index=False)
+    config = {
+        "exp_arguments": {"branch": "radio",
+                          "save_dir": str(tmp_path / "hm_lung")},
+        "data_arguments": {"process_list": str(plist),
+                           "feat_dir": str(b / "features" / "brain"),
+                           "modalities": ["T1", "T2", "T1Gd", "FLAIR"],
+                           "scan_list": str(scan_list),
+                           "scan_dir": str(scan_dir),
+                           "display_modality": "CT",
+                           "cancer_type": "lung"},
+        "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+    }
+    cfg_path = tmp_path / "lung.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config", str(cfg_path)])
+    assert rc == 0
+    scores = pd.read_csv(tmp_path / "hm_lung" / "scores.csv")
+    assert scores["subject_id"].nunique() == 2
+    pngs = list((tmp_path / "hm_lung" / subjects[0] / "top").glob("*.png"))
+    assert len(pngs) >= 1
