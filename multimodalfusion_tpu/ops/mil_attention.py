@@ -93,17 +93,20 @@ def _pool_reference(h, mask, params: AttnParams, gated: bool):
 def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
                        wc_ref, cc_ref, out_ref, ml_ref, acc_ref, m_ref,
                        l_ref, *, gated: bool):
-    """One (bag, tile) grid step of the online masked softmax pool.
+    """One (bag-block, tile) grid step of the online masked softmax pool.
 
-    h_ref:   [1, TN, D] VMEM tile of the bag
-    mask_ref:[1, 1, TN] VMEM tile of the validity mask
-    wa/wb:   [D, Da], ba/bb: [1, Da], wc: [Da, 1]  (replicated weights)
-    out_ref: [1, 1, D]  output block (same block for every tile step)
-    acc_ref: [1, D] f32 VMEM scratch — running weighted sum
-    m_ref,l_ref: [1,1] f32 SMEM scratch — running max / normalizer
+    A whole BLOCK of bags advances together each step — the scoring
+    matmul is [BB*TN, D] @ [D, Da], so per-grid-step launch overhead is
+    amortized over BB bags (the dominant cost at TN=1024 single-bag
+    steps was fixed overhead, ~3.5x the MXU time; see PERF.md).
 
-    (mask/out are 3D with a singleton middle/leading axis so their last two
-    block dims satisfy the TPU tiling rule for B > 1.)
+    h_ref:   [BB, TN, D] VMEM tile (BB bags advance in lockstep)
+    mask_ref:[BB, 1, TN] VMEM tile of the validity mask
+    wa/wb:   [D, Da] in the bag dtype, ba/bb: [1, Da] f32, wc: [1, Da] f32
+    out_ref: [BB, 1, D] output block (same block for every tile step)
+    ml_ref:  [BB, 1, 2] f32 (max, normalizer) residuals for the backward
+    acc_ref: [BB, D] f32 VMEM scratch — running weighted sums
+    m_ref/l_ref: [BB, 1] f32 VMEM scratch — running max / normalizer
     """
     j = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -111,43 +114,47 @@ def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
     @pl.when(j == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[0, 0] = NEG_INF
-        l_ref[0, 0] = 0.0
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-    h = h_ref[0]                              # [TN, D], bag dtype
-    cdt = h.dtype                             # matmuls run in bag dtype
-    mask = mask_ref[0].astype(jnp.float32)    # [1, TN]
+    h = h_ref[...]                              # [BB, TN, D], bag dtype
+    BB, TN, D = h.shape
+    cdt = h.dtype                               # matmuls run in bag dtype
+    mask = mask_ref[...].reshape(BB, TN).astype(jnp.float32)
 
-    a = jnp.tanh(jnp.dot(h, wa_ref[...].astype(cdt),
+    h2 = h.reshape(BB * TN, D)
+    a = jnp.tanh(jnp.dot(h2, wa_ref[...],
                          preferred_element_type=jnp.float32) + ba_ref[...])
     if gated:
         b = jax.nn.sigmoid(
-            jnp.dot(h, wb_ref[...].astype(cdt),
+            jnp.dot(h2, wb_ref[...],
                     preferred_element_type=jnp.float32) + bb_ref[...])
         a = a * b
-    # tiny [TN, Da] @ [Da, 1] projection stays f32 (mosaic can't lower
-    # the mixed-dtype matvec; cost is negligible)
-    s = (jnp.dot(a, wc_ref[...], preferred_element_type=jnp.float32)
-         + cc_ref[0, 0])
-    s = s.reshape(1, -1)                       # [1, TN]
+    # final [.., Da] @ [Da] projection as a VPU multiply-reduce (a matvec
+    # would waste an MXU pass; wc is a single row)
+    s = jnp.sum(a * wc_ref[...], axis=1).reshape(BB, TN) + cc_ref[0, 0]
     s = jnp.where(mask > 0, s, NEG_INF)
 
-    m_prev = m_ref[0, 0]
-    m_new = jnp.maximum(m_prev, jnp.max(s))
-    corr = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new) * (mask > 0)        # [1, TN]
-    l_ref[0, 0] = l_ref[0, 0] * corr + jnp.sum(p)
-    # [1, TN] @ [TN, D] on the MXU (weights cast to the bag dtype)
-    acc_ref[...] = acc_ref[...] * corr + jnp.dot(
-        p.astype(cdt), h, preferred_element_type=jnp.float32)
-    m_ref[0, 0] = m_new
+    m_prev = m_ref[...]                          # [BB, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    corr = jnp.exp(m_prev - m_new)               # [BB, 1]
+    p = jnp.exp(s - m_new) * (mask > 0)          # [BB, TN]
+    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+    # per-bag [1, TN] @ [TN, D] pooling on the MXU (static unrolled loop;
+    # mosaic has no batched dot_general)
+    pc = p.astype(cdt)
+    pooled = jnp.concatenate(
+        [jnp.dot(pc[i:i + 1], h[i], preferred_element_type=jnp.float32)
+         for i in range(BB)], axis=0)            # [BB, D]
+    acc_ref[...] = acc_ref[...] * corr + pooled
+    m_ref[...] = m_new
 
     @pl.when(j == n_tiles - 1)
     def _finalize():
-        out_ref[0] = (acc_ref[...] /
-                      jnp.maximum(l_ref[0, 0], 1e-30)).astype(out_ref.dtype)
-        ml_ref[0, 0, 0] = m_ref[0, 0]
-        ml_ref[0, 0, 1] = l_ref[0, 0]
+        out_ref[...] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+                        )[:, None, :].astype(out_ref.dtype)
+        ml_ref[...] = jnp.concatenate([m_ref[...], l_ref[...]],
+                                      axis=1)[:, None, :]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -155,46 +162,57 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
-                       tile_n: int = 1024, interpret: bool = False):
+                       tile_n: Optional[int] = None, bag_block: int = 1,
+                       interpret: bool = False):
+    """bag_block > 1 advances several bags per grid step.  Measured on the
+    v5e: no gain (the kernel is at the chip's matmul rate, not per-step
+    overhead — see PERF.md), and bag_block=8 crashes the mosaic compiler
+    on the unrolled per-bag pooling dots, so the default stays 1."""
     B, N, D = h.shape
     Da = params.Wa.shape[1]
+    bb = min(bag_block, B)
+    if tile_n is None:
+        # keep the h block ~4 MB (bf16) so block + double-buffer + f32
+        # intermediates fit the 16 MB VMEM budget
+        tile_n = max(2048 // bb, 256)
     tn = min(tile_n, _round_up(N, 128))
     n_pad = _round_up(N, tn)
-    if n_pad != N:
-        h = jnp.pad(h, ((0, 0), (0, n_pad - N), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, n_pad - N)))
+    b_pad = _round_up(B, bb)
+    if n_pad != N or b_pad != B:
+        h = jnp.pad(h, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
+        mask = jnp.pad(mask, ((0, b_pad - B), (0, n_pad - N)))
     n_tiles = n_pad // tn
 
     kernel = functools.partial(_fused_pool_kernel, gated=gated)
-    grid = (B, n_tiles)
+    grid = (b_pad // bb, n_tiles)
+    cdt = h.dtype
     out, ml = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tn, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, tn), lambda b, j: (b, 0, j)),
+            pl.BlockSpec((bb, tn, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((bb, 1, tn), lambda b, j: (b, 0, j)),
             pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
             pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
             pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
             pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((Da, 1), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((bb, 1, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((bb, 1, 2), lambda b, j: (b, 0, 0)),
         ),
         # f32 accumulate/output regardless of bag dtype (the unfused
         # reference path also promotes to f32, keeping the custom VJP's
         # primal/cotangent dtypes consistent).  ml carries the softmax
         # (max, normalizer) residuals for the fused backward.
-        out_shape=(jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1, 2), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b_pad, 1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((b_pad, 1, 2), jnp.float32)),
         scratch_shapes=[
-            pltpu.VMEM((1, D), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((bb, D), jnp.float32),
+            pltpu.VMEM((bb, 1), jnp.float32),
+            pltpu.VMEM((bb, 1), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -202,10 +220,12 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
             bytes_accessed=B * n_pad * D * h.dtype.itemsize,
             transcendentals=B * n_pad * (2 * Da if gated else Da),
         ),
-    )(h, mask[:, None, :], params.Wa, params.ba.reshape(1, -1), params.Wb,
-      params.bb.reshape(1, -1), params.wc,
+    )(h, mask[:, None, :], params.Wa.astype(cdt),
+      params.ba.reshape(1, -1).astype(jnp.float32), params.Wb.astype(cdt),
+      params.bb.reshape(1, -1).astype(jnp.float32),
+      params.wc.reshape(1, -1).astype(jnp.float32),
       params.cc.reshape(1, 1).astype(jnp.float32))
-    return out[:, 0, :], ml
+    return out[:B, 0, :], ml[:B]
 
 
 # ---------------------------------------------------------------------------
