@@ -194,8 +194,17 @@ def run_path_branch(cfg_ns) -> int:
         vis_level = getattr(h, "vis_level", None)
         if vis_level is not None and int(vis_level) < 0:
             vis_level = None
+        # optional per-slide ROI restriction (ref use_roi + x1/x2/y1/y2
+        # columns of the process list)
+        roi_kwargs = {}
+        if bool(getattr(h, "use_roi", False)) and \
+                all(c in row.index for c in ("x1", "x2", "y1", "y2")) and \
+                not any(pd.isna(row[c]) for c in ("x1", "x2", "y1", "y2")):
+            roi_kwargs = dict(
+                top_left=(int(row["x1"]), int(row["y1"])),
+                bot_right=(int(row["x2"]), int(row["y2"])))
         heat = draw_heatmap(slide, scores, coords, patch_size=patch_size,
-                            vis_level=vis_level,
+                            vis_level=vis_level, **roi_kwargs,
                             alpha=float(getattr(h, "alpha", 0.4)),
                             blur=bool(getattr(h, "blur", False)),
                             use_percentiles=not bool(
@@ -252,16 +261,34 @@ def run_path_branch(cfg_ns) -> int:
                 print(f"{stem}: fine heatmap ({len(fcoords)} patches at "
                       f"overlap {overlap}) -> {out_f}")
 
-        # top/bottom patch sampling (ref :481-556)
-        k = dynamic_k(len(scores), floor=int(getattr(s, "floor", 200)))
-        k = min(k, len(scores))
-        for mode_name in ("topk", "reverse_topk"):
-            sc, cc = sample_rois(scores, coords, k=k, mode=mode_name)
+        # patch sampling (ref :481-556).  Two YAML forms:
+        #   sample_arguments.samples: [{name, sample, seed, k, mode,
+        #     score_start/score_end}, ...]  — reference list form
+        #   sample_arguments.{floor, save_n}  — shorthand (topk + reverse)
+        specs = getattr(s, "samples", None)
+        if specs is None:
+            k = dynamic_k(len(scores), floor=int(getattr(s, "floor", 200)))
+            save_n = int(getattr(s, "save_n", 8))
+            specs = [{"name": "topk", "mode": "topk", "k": k,
+                      "save_n": save_n},
+                     {"name": "reverse_topk", "mode": "reverse_topk",
+                      "k": k, "save_n": save_n}]
+        for spec in specs:
+            if not spec.get("sample", True):
+                continue
+            mode_name = spec.get("mode", "topk")
+            k = min(int(spec.get("k", 8)), len(scores))
+            sc, cc = sample_rois(
+                scores, coords, k=k, mode=mode_name,
+                seed=int(spec.get("seed", 1)),
+                score_range=(float(spec.get("score_start", 0.45)),
+                             float(spec.get("score_end", 0.55))))
+            name = spec.get("name", mode_name)
             sample_dir = ensure_dir(os.path.join(save_dir,
-                                                 f"{stem}_{mode_name}"))
+                                                 f"{stem}_{name}"))
+            save_n = int(spec.get("save_n", spec.get("k", 8)))
             for rank, (sc_i, (x, y)) in enumerate(
-                    zip(sc[:int(getattr(s, "save_n", 8))],
-                        cc[:int(getattr(s, "save_n", 8))])):
+                    zip(sc[:save_n], cc[:save_n])):
                 patch = slide.read_region((int(x), int(y)), 0,
                                           (patch_size, patch_size))
                 cv2.imwrite(os.path.join(

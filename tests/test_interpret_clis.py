@@ -218,6 +218,14 @@ def test_heatmap_path_branch(trained, tmp_path):
     config["exp_arguments"]["save_dir"] = str(tmp_path / "hm_onmiss")
     config["heatmap_arguments"] = {"alpha": 0.4, "cmap": "coolwarm",
                                    "save_orig": True}
+    # reference list-form sample specs (named, with range sampling)
+    config["sample_arguments"] = {"samples": [
+        {"name": "topk_high_attention", "sample": True, "k": 3,
+         "mode": "topk"},
+        {"name": "mid_band", "sample": True, "seed": 1, "k": 2,
+         "mode": "range_sample", "score_start": 0.2, "score_end": 0.8},
+        {"name": "skipped", "sample": False, "k": 5, "mode": "topk"},
+    ]}
     cfg_path.write_text(yaml.safe_dump(config))
     rc = hm_main(["--config", str(cfg_path)])
     assert rc == 0
@@ -227,6 +235,11 @@ def test_heatmap_path_branch(trained, tmp_path):
         assert len(f["features"]) == len(f["coords"]) > 3
     assert (tmp_path / "hm_onmiss" / "HEAT1_heatmap.jpg").exists()
     assert (tmp_path / "hm_onmiss" / "HEAT1_orig.jpg").exists()
+    assert len(list((tmp_path / "hm_onmiss" / "HEAT1_topk_high_attention"
+                     ).glob("*.png"))) == 3
+    assert len(list((tmp_path / "hm_onmiss" / "HEAT1_mid_band"
+                     ).glob("*.png"))) == 2
+    assert not (tmp_path / "hm_onmiss" / "HEAT1_skipped").exists()
 
 
 def test_heatmap_radio_branch_lung_display(trained, tmp_path):
