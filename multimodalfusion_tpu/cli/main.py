@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--splits_root", type=str, default="./splits")
     p.add_argument("--resume", action="store_true", default=False,
                    help="continue each fold from its last saved epoch")
+    p.add_argument("--ckpt_format", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="resume-bundle format; orbax restores sharded "
+                        "arrays per-device without a host gather")
     p.add_argument("--eval_only", action="store_true", default=False,
                    help="evaluate existing minloss checkpoints instead of "
                         "training (ref core_utils.py eval_mode :109-127)")
@@ -204,7 +208,8 @@ def main(argv=None) -> int:
             model_size_omic=args.model_size_omic,
             omic_input_dim=omic_dim, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
-            resume=args.resume, data_parallel=args.data_parallel)
+            resume=args.resume, data_parallel=args.data_parallel,
+            ckpt_format=args.ckpt_format)
         with trace(args.profile_dir), timings.stage(f"fold{i}"):
             out = train_fold(splits, i, cfg, eval_only=args.eval_only)
         if args.split_mode == "train_val_test":

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--splits_root", type=str, default="./splits")
     p.add_argument("--resume", action="store_true", default=False,
                    help="continue each fold from its last saved epoch")
+    p.add_argument("--ckpt_format", type=str, default="msgpack",
+                   choices=["msgpack", "orbax"],
+                   help="resume-bundle format; orbax restores sharded "
+                        "arrays per-device without a host gather")
     return p
 
 
@@ -142,7 +146,8 @@ def main(argv=None) -> int:
             results_dir=results_dir, split_mode=args.split_mode,
             train_type=args.train_type, n_layers=args.n_layers,
             pretrained=True, resume=args.resume,
-            data_parallel=args.data_parallel)
+            data_parallel=args.data_parallel,
+            ckpt_format=args.ckpt_format)
         out = train_fold(splits, i, cfg)
         if args.split_mode == "train_val_test":
             val_df, val_c, test_df, test_c = out

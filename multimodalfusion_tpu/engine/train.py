@@ -77,6 +77,10 @@ class TrainConfig:
     bag_dtype: str = "float32"
     resume: bool = False             # continue a fold from its last epoch
     data_parallel: bool = False      # shard the batch axis over all devices
+    # resume-bundle format: msgpack (host-gathered flax bytes) or orbax
+    # (per-shard async-capable directories; sharded arrays restore onto
+    # the mesh without a host gather — see utils/orbax_io.py)
+    ckpt_format: str = "msgpack"
 
 
 # ---------------------------------------------------------------------------
@@ -484,7 +488,29 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
                                 f"s_{cur}_minloss_checkpoint.msgpack")
     mid_ckpt = os.path.join(cfg.results_dir,
                             f"s_{cur}_mid_checkpoint.msgpack")
-    resume_path = os.path.join(cfg.results_dir, f"s_{cur}_resume.msgpack")
+    use_orbax = cfg.ckpt_format == "orbax"
+    resume_path = os.path.join(
+        cfg.results_dir,
+        f"s_{cur}_resume." + ("orbax" if use_orbax else "msgpack"))
+
+    def _save_resume(bundle):
+        if use_orbax:
+            from multimodalfusion_tpu.utils import orbax_io
+            orbax_io.save_tree(resume_path, bundle)
+        else:
+            save_checkpoint(resume_path, bundle)
+
+    def _resume_exists():
+        if use_orbax:
+            from multimodalfusion_tpu.utils import orbax_io
+            return orbax_io.exists(resume_path)
+        return os.path.exists(resume_path)
+
+    def _load_resume(template):
+        if use_orbax:
+            from multimodalfusion_tpu.utils import orbax_io
+            return orbax_io.restore_tree(resume_path, template)
+        return load_checkpoint(resume_path, template)
 
     if eval_only:
         variables = load_checkpoint(minloss_ckpt, variables)
@@ -509,14 +535,14 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
 
     start_epoch = 0
     es_state = None
-    if cfg.resume and os.path.exists(resume_path):
-        bundle = load_checkpoint(
-            resume_path, {"variables": variables, "opt_state": opt_state,
-                          "epoch": 0, "rng": np.asarray(rng),
-                          "es_best": np.float64(0.0),
-                          "es_counter": 0,
-                          "es_val_loss_min": np.float64(np.inf),
-                          "es_has_best": 0})
+    if cfg.resume and _resume_exists():
+        bundle = _load_resume(
+            {"variables": variables, "opt_state": opt_state,
+             "epoch": 0, "rng": np.asarray(rng),
+             "es_best": np.float64(0.0),
+             "es_counter": 0,
+             "es_val_loss_min": np.float64(np.inf),
+             "es_has_best": 0})
         variables = bundle["variables"]
         opt_state = bundle["opt_state"]
         start_epoch = int(bundle["epoch"]) + 1
@@ -574,7 +600,7 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
                 stop = True
         # resume bundle: params + optimizer state + epoch + rng +
         # early-stopping state (the reference has no training resume)
-        save_checkpoint(resume_path, {
+        _save_resume({
             "variables": variables, "opt_state": opt_state,
             "epoch": epoch, "rng": np.asarray(rng),
             "es_best": np.float64(stopper.best_score

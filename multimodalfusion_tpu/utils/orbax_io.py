@@ -1,0 +1,69 @@
+"""Orbax-backed checkpointing for sharded/multi-chip training state.
+
+SURVEY §5 prescribes Orbax for the rebuild's checkpoint/resume path.
+The default per-fold artifacts stay flax msgpack + reference-shaped
+`.pt` side-exports (small models, reference-tool compatible); Orbax is
+the opt-in format for the RESUME bundle, where it adds what msgpack
+cannot: sharded arrays are saved/restored per-device without a host
+gather (each chip writes its own shard), and restore places arrays
+straight onto the mesh from the template's shardings.
+
+Enable with ``TrainConfig.ckpt_format = "orbax"`` (CLI:
+``--ckpt_format orbax``).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def _normalize(tree: Any) -> Any:
+    """numpy scalar leaves (np.int64 etc.) are not accepted by orbax's
+    StandardCheckpointer — lower them to python scalars."""
+    import jax
+    import numpy as np
+
+    def fix(x):
+        if isinstance(x, np.generic):
+            return x.item()
+        return x
+
+    return jax.tree.map(fix, tree)
+
+
+def save_tree(path: str, tree: Any) -> None:
+    """Write a pytree checkpoint directory at ``path`` (replaced
+    atomically if present). Sharded jax.Arrays are written per-shard."""
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    ckptr.save(path, _normalize(tree), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_tree(path: str, template: Any) -> Any:
+    """Restore a pytree saved by ``save_tree``. ``template`` supplies
+    structure, dtypes and shardings — restored arrays land directly on
+    the template's devices."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    def as_abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if isinstance(x, np.ndarray):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return x
+
+    abstract = jax.tree.map(as_abstract, _normalize(template))
+    return _checkpointer().restore(os.path.abspath(path), abstract)
+
+
+def exists(path: str) -> bool:
+    """True when ``path`` holds a complete orbax checkpoint."""
+    return os.path.isdir(path) and bool(os.listdir(path))

@@ -237,3 +237,50 @@ def test_data_parallel_with_grad_accum(cohort):
     exp = next(out_root.iterdir())
     summary = pd.read_csv(exp / "summary.csv")
     assert np.isfinite(summary["val_cindex"].iloc[0])
+
+
+def test_resume_with_orbax_format(cohort):
+    """--ckpt_format orbax: resume bundle is an orbax directory and the
+    metrics log continues across the restart exactly like msgpack."""
+    import json
+    common = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+              "--k", "1", "--k_end", "1", "--model_type", "max_net",
+              "--mode", "omic", "--bag_loss", "cox_surv",
+              "--batch_size", "16", "--lr", "1e-3",
+              "--ckpt_format", "orbax",
+              "--data_root_dir", str(cohort / "features"),
+              "--dataset_root", str(cohort / "dataset_csv"),
+              "--splits_root", str(cohort / "splits"),
+              "--results_dir", str(cohort / "results_orbax"),
+              "--overwrite"]
+    assert cli_main(common + ["--max_epochs", "2"]) == 0
+    exp = next((cohort / "results_orbax" / "brain" / "2foldcv").iterdir())
+    assert (exp / "s_0_resume.orbax").is_dir()
+    assert cli_main(common + ["--max_epochs", "4", "--resume"]) == 0
+    lines = [json.loads(l) for l in
+             (exp / "0" / "metrics.jsonl").read_text().splitlines()]
+    assert [l["epoch"] for l in lines] == [0, 1, 2, 3]
+
+
+def test_orbax_roundtrip_sharded(tmp_path):
+    """orbax_io round-trips a pytree with mesh-sharded arrays and
+    restores them with the template's shardings."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from multimodalfusion_tpu.parallel.mesh import make_mesh
+    from multimodalfusion_tpu.utils import orbax_io
+
+    mesh = make_mesh()
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    x = jax.device_put(jnp.arange(16.0), sh)
+    tree = {"x": x, "step": np.int64(7),
+            "nested": {"y": np.ones((3, 2), np.float32)}}
+    path = str(tmp_path / "ck.orbax")
+    orbax_io.save_tree(path, tree)
+    assert orbax_io.exists(path)
+    out = orbax_io.restore_tree(path, tree)
+    np.testing.assert_array_equal(np.asarray(out["x"]), np.arange(16.0))
+    assert out["x"].sharding.is_equivalent_to(sh, ndim=1)
+    assert int(out["step"]) == 7
+    np.testing.assert_array_equal(out["nested"]["y"], tree["nested"]["y"])
