@@ -1,4 +1,4 @@
-"""Checkpoint-level parity for the path attention-MIL stack, end to end:
+"""Checkpoint-level parity for the attention-MIL stacks, end to end:
 
 1. generate a reference-layout synthetic cohort (tests/fixtures.py),
 2. TRAIN THE ACTUAL REFERENCE on it (tools/run_reference.py, CPU torch),
@@ -7,12 +7,14 @@
 4. assert the val c-index matches the reference's own summary.csv to
    1e-9 and per-patient risks agree to <5e-3.
 
-Measured 2026-08-16 (recorded in PARITY.md §3): fold 0 both report
-0.8647058824, fold 1 both 0.8620689655; max per-patient risk |Δ|
-2.5e-3 (f32 vs f64 accumulation), identical rankings.
+Measured 2026-08-16/17 (recorded in PARITY.md §3):
+  path arm:  fold 0 both 0.8647058824, fold 1 both 0.8620689655
+  radio arm: see PARITY.md table
+Max per-patient risk |Δ| ~2.5e-3 (f32 vs f64 accumulation), identical
+rankings.
 
-Run:  python tools/parity_path_amil.py [workdir]
-Needs /root/reference mounted. ~2 min (reference trains on CPU).
+Run:  python tools/parity_amil.py [path|radio] [workdir]
+Needs /root/reference mounted. ~2-4 min (reference trains on CPU).
 """
 import os
 import pickle
@@ -25,8 +27,27 @@ import pandas as pd
 REF = "/root/reference"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+ARMS = {
+    "path": {
+        "mode": "path", "model_type": "path_attention_mil",
+        "exp": "PATH_a0.6_s0",
+        "ref_flags": ["--gate_path"],
+        "cfg": dict(model_type="path_attention_mil", mode="path",
+                    gate_path=True),
+    },
+    "radio": {
+        "mode": "radio", "model_type": "radio_attention_mil",
+        "exp": "RADIO_a0.6_s0",
+        "ref_flags": ["--gate_radio", "--radio_fusion", "concat",
+                      "--radio_mil_type", "attention"],
+        "cfg": dict(model_type="radio_attention_mil", mode="radio",
+                    gate_radio=True, radio_fusion="concat"),
+    },
+}
 
-def main(base: str) -> int:
+
+def main(arm: str, base: str) -> int:
+    spec = ARMS[arm]
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from fixtures import make_cohort_csv, make_feature_store, make_splits
 
@@ -48,17 +69,16 @@ def main(base: str) -> int:
          "--k", "2", "--which_splits", "2foldcv",
          "--split_mode", "train_val", "--task", "survival",
          "--data_root_dir", os.path.join(base, "feat"),
-         "--mode", "path", "--model_type", "path_attention_mil",
+         "--mode", spec["mode"], "--model_type", spec["model_type"],
          "--max_epochs", "30", "--bag_loss", "nll_surv",
          "--batch_size", "1", "--seed", "0", "--n_classes", "4",
-         "--drop_out", "--gate_path", "--alpha_surv", "0.6",
-         "--cancer_type", "brain",
+         "--drop_out", "--alpha_surv", "0.6", "--cancer_type", "brain",
          "--results_dir", os.path.join(base, "ref_results"),
-         "--overwrite"],
+         "--overwrite"] + spec["ref_flags"],
         cwd=base, env=env, input=b"n\n", check=True)
 
     exp = os.path.join(base, "ref_results", "brain", "2foldcv",
-                       "PATH_a0.6_s0")
+                       spec["exp"])
     ref_summary = pd.read_csv(os.path.join(exp, "summary.csv"))
 
     import jax
@@ -67,11 +87,10 @@ def main(base: str) -> int:
     from multimodalfusion_tpu.utils.torch_interop import (import_pt,
                                                           spec_from_config)
 
-    cfg = train_mod.TrainConfig(model_type="path_attention_mil",
-                                mode="path", bag_loss="nll_surv",
-                                n_classes=4, gate_path=True,
-                                drop_out=True, batch_size=1, seed=0)
-    ds = SurvivalDataset(csv_path, mode="path",
+    cfg = train_mod.TrainConfig(bag_loss="nll_surv", n_classes=4,
+                                drop_out=True, batch_size=1, seed=0,
+                                **spec["cfg"])
+    ds = SurvivalDataset(csv_path, mode=spec["mode"],
                          data_dir=os.path.join(base, "feat", "brain"),
                          n_bins=4)
     model = train_mod.build_model(cfg)
@@ -105,12 +124,13 @@ def main(base: str) -> int:
                     zip(results["subject_id"], results["risk"]))
         match = abs(cindex - ref_c) < 1e-9 and max_d < 5e-3
         ok &= match
-        print(f"fold {fold}: ref c-index {ref_c:.10f}  ours {cindex:.10f}"
-              f"  max risk |d| {max_d:.2e}  "
+        print(f"[{arm}] fold {fold}: ref c-index {ref_c:.10f}  "
+              f"ours {cindex:.10f}  max risk |d| {max_d:.2e}  "
               f"{'MATCH' if match else 'MISMATCH'}")
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/parity_path_amil"
-    sys.exit(main(os.path.abspath(base)))
+    arm = sys.argv[1] if len(sys.argv) > 1 else "path"
+    base = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/parity_{arm}_amil"
+    sys.exit(main(arm, os.path.abspath(base)))
