@@ -287,13 +287,27 @@ def run_path_branch(cfg_ns) -> int:
             sample_dir = ensure_dir(os.path.join(save_dir,
                                                  f"{stem}_{name}"))
             save_n = int(spec.get("save_n", spec.get("k", 8)))
+            sampled = []
             for rank, (sc_i, (x, y)) in enumerate(
                     zip(sc[:save_n], cc[:save_n])):
                 patch = slide.read_region((int(x), int(y)), 0,
                                           (patch_size, patch_size))
+                sampled.append(patch)
                 cv2.imwrite(os.path.join(
                     sample_dir, f"{rank}_x{x}_y{y}_a{sc_i:.3f}.png"),
                     cv2.cvtColor(patch, cv2.COLOR_RGB2BGR))
+            if sampled:
+                # sampled-patch grid canvas (ref Mosaic_Canvas,
+                # util_classes.py:6-46, assembled in create_heatmaps)
+                from multimodalfusion_tpu.interpret.heatmaps import \
+                    patch_mosaic
+                mosaic = patch_mosaic(
+                    np.stack(sampled),
+                    n_cols=int(spec.get("mosaic_cols", 5)),
+                    downscale=int(spec.get("mosaic_downscale", 2)))
+                cv2.imwrite(os.path.join(save_dir,
+                                         f"{stem}_{name}_mosaic.png"),
+                            cv2.cvtColor(mosaic, cv2.COLOR_RGB2BGR))
     return 0
 
 

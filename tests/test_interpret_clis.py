@@ -237,6 +237,9 @@ def test_heatmap_path_branch(trained, tmp_path):
     assert (tmp_path / "hm_onmiss" / "HEAT1_orig.jpg").exists()
     assert len(list((tmp_path / "hm_onmiss" / "HEAT1_topk_high_attention"
                      ).glob("*.png"))) == 3
+    # sampled-patch mosaic canvas per spec (ref Mosaic_Canvas)
+    assert (tmp_path / "hm_onmiss" /
+            "HEAT1_topk_high_attention_mosaic.png").exists()
     assert len(list((tmp_path / "hm_onmiss" / "HEAT1_mid_band"
                      ).glob("*.png"))) == 2
     assert not (tmp_path / "hm_onmiss" / "HEAT1_skipped").exists()
