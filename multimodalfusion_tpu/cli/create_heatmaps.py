@@ -254,8 +254,10 @@ def run_path_branch(cfg_ns) -> int:
                 fine = draw_heatmap(slide, fscores, fcoords,
                                     patch_size=patch_size,
                                     alpha=float(getattr(h, "alpha", 0.4)),
-                                    blur=True, use_percentiles=True,
-                                    cmap=getattr(h, "cmap", "coolwarm"))
+                                    blur=True, overlap=overlap,
+                                    use_percentiles=True,
+                                    cmap=getattr(h, "cmap", "coolwarm"),
+                                    **seg_kwargs)
                 out_f = os.path.join(save_dir, f"{stem}_fine_heatmap.jpg")
                 cv2.imwrite(out_f, cv2.cvtColor(fine, cv2.COLOR_RGB2BGR))
                 print(f"{stem}: fine heatmap ({len(fcoords)} patches at "
@@ -340,7 +342,11 @@ def run_radio_branch(cfg_ns) -> int:
             print(f"missing features for {subject}")
             continue
         from multimodalfusion_tpu.data.bags import intersect_slices
-        bag, common = intersect_slices(feats, sids, return_ids=True)
+        try:
+            bag, common = intersect_slices(feats, sids, return_ids=True)
+        except ValueError as e:
+            print(f"skipping {subject}: corrupt slice ids ({e})")
+            continue
         bag = bag[None]
         mask = np.ones((1, bag.shape[1]), np.float32)
         scores = np.asarray(model.apply(

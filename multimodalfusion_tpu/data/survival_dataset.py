@@ -83,6 +83,16 @@ class Split:
             w[i] = N / counts[y]
         return w
 
+    @staticmethod
+    def _radio_cells_present(row, modalities) -> bool:
+        """Do the CSV's per-modality filename cells all carry a value?
+        (shared by the cheap probe and the full loader so the presence
+        predicates cannot drift apart)"""
+        return all(
+            isinstance(row.get(m), str) or
+            (row.get(m) is not None and not pd.isna(row.get(m)))
+            for m in modalities)
+
     def probe_present(self, idx: int) -> Dict[str, bool]:
         """Cheap modality-presence probe: file-existence + CSV checks only,
         no array loads.  Mirrors the presence semantics of ``_load_raw``
@@ -95,10 +105,8 @@ class Split:
         present: Dict[str, bool] = {}
 
         if "radio" in ds.mode:
-            ok = bool(ds.data_dir) and all(
-                isinstance(row.get(m), str) or
-                (row.get(m) is not None and not pd.isna(row.get(m)))
-                for m in ds.modalities)
+            ok = bool(ds.data_dir) and self._radio_cells_present(
+                row, ds.modalities)
             if ok:
                 ok = all(os.path.exists(os.path.join(
                     ds.data_dir, "radio_h5_files", m, f"{subject_id}.h5"))
@@ -139,11 +147,7 @@ class Split:
         # radiology: per-modality h5 + slice intersection
         # (ref dataset_survival.py:334-348)
         if "radio" in ds.mode and ds.data_dir:
-            mods_present = all(
-                isinstance(row.get(m), str) or
-                (row.get(m) is not None and not pd.isna(row.get(m)))
-                for m in ds.modalities)
-            if mods_present:
+            if self._radio_cells_present(row, ds.modalities):
                 feats, sids = [], []
                 try:
                     for m in ds.modalities:
@@ -156,6 +160,12 @@ class Split:
                         intersect_slices
                     s.radio = intersect_slices(feats, sids).astype(np.float32)
                 except (OSError, KeyError):
+                    s.radio = None
+                except ValueError as e:
+                    # corrupt h5 (e.g. duplicate slice ids): treat as a
+                    # missing modality like the IO errors above, but say so
+                    print(f"WARNING: skipping radio bag for "
+                          f"{s.subject_id}: {e}")
                     s.radio = None
         s.present["radio"] = s.radio is not None
 

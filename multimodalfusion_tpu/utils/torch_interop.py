@@ -123,7 +123,8 @@ def build_spec(model_type: str, *, pretrained: bool = False,
                gate: bool = True, gate_path: bool = True,
                gate_radio: bool = True, gated: bool = True,
                attn_dropout: bool = False,
-               n_modalities: int = 4) -> List[Entry]:
+               n_modalities: int = 4,
+               omic_input_dim: int = 0) -> List[Entry]:
     """Build the torch<->flax mapping spec for any model the framework's
     ``build_model`` can construct (engine/train.py)."""
     if pretrained:
@@ -154,14 +155,23 @@ def build_spec(model_type: str, *, pretrained: bool = False,
     if model_type == "mm_attention_mil":
         return _mm_attention_mil_spec(mode, fusion, radio_fusion, gate,
                                       gate_path, gate_radio, attn_dropout,
-                                      n_modalities)
+                                      n_modalities, omic_input_dim)
     raise NotImplementedError(model_type)
 
 
 def _mm_attention_mil_spec(mode, fusion, radio_fusion, gate, gate_path,
                            gate_radio, attn_dropout,
-                           n_modalities) -> List[Entry]:
-    """MM_MIL_Attention_fc_surv (ref model_mm_attention_mil.py:34-200)."""
+                           n_modalities, omic_input_dim=0) -> List[Entry]:
+    """MM_MIL_Attention_fc_surv (ref model_mm_attention_mil.py:34-200).
+
+    The reference instantiates fc_omic, attention_net_radio,
+    attention_net_WSI and the radio_fusion module UNCONDITIONALLY
+    (:36-75), so its checkpoints carry never-trained params for inactive
+    branches and its strict load_state_dict expects those keys.  Our
+    flax model is mode-gated; for branches we do not build, export
+    emits deterministic xavier-initialized placeholders ("fill_*"
+    entries) so the exported .pt loads reference-side with strict=True.
+    'small' model sizes assumed (1024/256, ref :28-30)."""
     es: List[Entry] = []
     if "radio" in mode:
         if n_modalities > 1:
@@ -170,15 +180,37 @@ def _mm_attention_mil_spec(mode, fusion, radio_fusion, gate, gate_path,
                                        n_modalities)
             else:
                 es.append(("linear", "reduce_dim", ["reduce_dim"]))
+        elif radio_fusion != "tensor":
+            # the reference builds reduce_dim for concat even with one
+            # modality (Linear(1024, 1024), ref :61)
+            es.append(("fill_linear", "reduce_dim",
+                       (1024 * n_modalities, 1024)))
         es.append(("linear", "attention_net_radio.0", ["fc_radio"]))
         es.append(("attn", "attention_net_radio.3", ["attention_net_radio"],
                    gate_radio, attn_dropout))
+    else:
+        es.append(("fill_linear", "attention_net_radio.0", (1024, 256)))
+        es.append(("fill_attn", "attention_net_radio.3", (256, 256),
+                   gate_radio, attn_dropout))
+        if radio_fusion != "tensor":
+            es.append(("fill_linear", "reduce_dim",
+                       (1024 * n_modalities, 1024)))
     if "path" in mode:
         es.append(("linear", "attention_net_WSI.0", ["fc_WSI"]))
         es.append(("attn", "attention_net_WSI.3", ["attention_net_WSI"],
                    gate_path, attn_dropout))
+    else:
+        es.append(("fill_linear", "attention_net_WSI.0", (1024, 256)))
+        es.append(("fill_attn", "attention_net_WSI.3", (256, 256),
+                   gate_path, attn_dropout))
     if "omic" in mode:
         es += _snn_entries("fc_omic")
+    elif omic_input_dim > 0:
+        # SNN_Block Sequential nests the Linear at .0 (ref :36-40);
+        # input width is the cohort's genomic dim — unknown when the
+        # config has none, in which case the filler is skipped
+        es.append(("fill_linear", "fc_omic.0.0", (omic_input_dim, 256)))
+        es.append(("fill_linear", "fc_omic.1.0", (256, 256)))
     if fusion == "tensor":
         es += _xfusion_entries("mm", ["mm"], len(_present(mode)), gate=gate)
         # classifier Sequential(Linear(512,256), ReLU, Dropout, Linear)
@@ -261,7 +293,8 @@ def spec_from_config(cfg) -> List[Entry]:
         n_layers=cfg.n_layers, fusion=cfg.fusion or "tensor",
         radio_fusion=cfg.radio_fusion or "concat", gate=cfg.gate,
         gate_path=cfg.gate_path, gate_radio=cfg.gate_radio, gated=gated,
-        attn_dropout=cfg.drop_out, n_modalities=len(cfg.modalities))
+        attn_dropout=cfg.drop_out, n_modalities=len(cfg.modalities),
+        omic_input_dim=cfg.omic_input_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -299,6 +332,33 @@ def _attn_export(sd, params, tp, fp, gated, dropout, torch):
         sd[f"{prefix}.bias"] = torch.tensor(np.asarray(attn[bname]).copy())
 
 
+def _fill_rng(key: str):
+    import zlib
+    return np.random.default_rng(zlib.crc32(key.encode()))
+
+
+def _fill_linear(sd, tp, in_dim, out_dim, torch):
+    """Deterministic xavier-normal weights + zero bias for a reference
+    module our mode-gated flax model never instantiates (the reference
+    builds every branch unconditionally and its checkpoints carry the
+    never-trained params; strict load_state_dict needs the keys)."""
+    std = float(np.sqrt(2.0 / (in_dim + out_dim)))
+    w = _fill_rng(tp).normal(0.0, std, size=(out_dim, in_dim))
+    sd[f"{tp}.weight"] = torch.tensor(w.astype(np.float32))
+    sd[f"{tp}.bias"] = torch.zeros(out_dim)
+
+
+def _fill_attn(sd, tp, L, D, gated, dropout, torch):
+    if gated:
+        _fill_linear(sd, f"{tp}.attention_a.0", L, D, torch)
+        _fill_linear(sd, f"{tp}.attention_b.0", L, D, torch)
+        _fill_linear(sd, f"{tp}.attention_c", D, 1, torch)
+    else:
+        last = f"{tp}.module.3" if dropout else f"{tp}.module.2"
+        _fill_linear(sd, f"{tp}.module.0", L, D, torch)
+        _fill_linear(sd, last, D, 1, torch)
+
+
 def torch_to_variables(spec: Sequence[Entry], state_dict: Dict,
                        variables_template: Dict) -> Dict:
     """Fill a copy of variables_template ({"params": ..., optionally
@@ -329,6 +389,8 @@ def torch_to_variables(spec: Sequence[Entry], state_dict: Dict,
                      np.asarray(sd[f"{tp}.running_var"]))
         elif kind == "attn":
             _attn_import(sd, params, tp, fp, entry[3], entry[4])
+        elif kind in ("fill_linear", "fill_attn"):
+            pass  # export-only placeholders; nothing to import
         else:
             raise ValueError(kind)
     return jax.tree.map(jnp.asarray, variables)
@@ -367,6 +429,12 @@ def variables_to_torch(spec: Sequence[Entry], variables: Dict) -> Dict:
                                                            dtype=torch.long)
         elif kind == "attn":
             _attn_export(sd, params, tp, fp, entry[3], entry[4], torch)
+        elif kind == "fill_linear":
+            in_dim, out_dim = entry[2]
+            _fill_linear(sd, tp, in_dim, out_dim, torch)
+        elif kind == "fill_attn":
+            L, D = entry[2]
+            _fill_attn(sd, tp, L, D, entry[3], entry[4], torch)
         else:
             raise ValueError(kind)
     return sd

@@ -189,6 +189,29 @@ def test_prefetch_propagates_errors():
         next(it)
 
 
+def test_prefetch_releases_worker_on_abandonment():
+    """Closing the consumer mid-stream must unblock the worker thread
+    (previously it sat forever on q.put with the queue full, pinning
+    collated batches)."""
+    import threading
+    import time
+    from multimodalfusion_tpu.data.loaders import prefetch
+
+    n_before = threading.active_count()
+
+    def src():
+        for i in range(1000):
+            yield np.zeros(1000, np.float32)
+
+    it = prefetch(src(), depth=1)
+    assert next(it) is not None
+    it.close()  # triggers GeneratorExit -> finally -> stop event
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_before, "worker thread leaked"
+
+
 def test_probe_present_matches_full_load(store):
     """usable_indices now filters via probe_present (file existence only);
     it must agree with the presence flags the full loader computes."""
@@ -210,6 +233,29 @@ def test_probe_present_matches_full_load(store):
         os.rename(
             os.path.join(root, "radio_h5_files", "T2", f"{victim}.h5.bak"),
             os.path.join(root, "radio_h5_files", "T2", f"{victim}.h5"))
+
+
+def test_duplicate_slice_ids_degrade_to_missing(store, tmp_path):
+    """A corrupt radio h5 (duplicate slice ids) must not crash training:
+    the loader warns and treats the modality as missing (the probe still
+    admits the sample -- it checks existence only)."""
+    from multimodalfusion_tpu.data.io import save_hdf5
+    root, csv_path, df = store
+    victim = df["subject_id"].iloc[4]
+    h5 = os.path.join(root, "radio_h5_files", "T1", f"{victim}.h5")
+    bak = h5 + ".bak"
+    os.rename(h5, bak)
+    try:
+        save_hdf5(h5, {"features": np.zeros((3, 1024), np.float32),
+                       "slice_index": np.array([1, 1, 2])}, mode="w")
+        ds = SurvivalDataset(csv_path, mode="radio", data_dir=root,
+                             n_bins=4)
+        split = ds.whole_split()
+        assert split.probe_present(4)["radio"]      # files exist
+        s = split.get_sample(4)                     # must not raise
+        assert s.radio is None and not s.present["radio"]
+    finally:
+        os.replace(bak, h5)
 
 
 def test_probe_present_reads_no_bytes(store, monkeypatch):

@@ -418,6 +418,61 @@ def test_mm_attention_mil_export_strict(rng):
     tm.load_state_dict(sd, strict=True)
 
 
+def test_mm_partial_mode_export_strict_fills_inactive_branches(rng):
+    """mode='pathomic' export must still strict-load into the reference
+    layout: the reference builds attention_net_radio, reduce_dim and
+    fc_omic UNCONDITIONALLY (model_mm_attention_mil.py:36-75), so the
+    export fills the inactive radio branch with deterministic
+    placeholders."""
+
+    class TorchMMPathOmic(tnn.Module):
+        def __init__(self, input_dim=36, n_modalities=4, n_classes=4):
+            super().__init__()
+            self.fc_omic = tnn.Sequential(
+                tnn.Sequential(tnn.Linear(input_dim, 256), tnn.SELU(),
+                               tnn.AlphaDropout(0.25)),
+                tnn.Sequential(tnn.Linear(256, 256), tnn.SELU(),
+                               tnn.AlphaDropout(0.25)))
+            self.attention_net_radio = tnn.Sequential(
+                tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                TorchGatedAttn())
+            self.reduce_dim = tnn.Linear(1024 * n_modalities, 1024)
+            self.attention_net_WSI = tnn.Sequential(
+                tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                TorchGatedAttn())
+            self.mm = TorchXlinearFusion(dim=256, scale_dim=16, mmhid1=512,
+                                         mmhid2=512, num_modalities=2,
+                                         skip=1)
+            self.classifier = tnn.Sequential(
+                tnn.Linear(512, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                tnn.Linear(256, n_classes))
+
+    model = MMAttentionMIL(mode="pathomic", n_modalities=4,
+                           omic_input_dim=36, fusion="tensor",
+                           radio_fusion="concat")
+    inputs = dict(path_bags=jnp.zeros((1, 5, 1024)),
+                  path_mask=jnp.ones((1, 5)),
+                  genomic=jnp.zeros((1, 36)))
+    variables = model.init(KEY, **inputs)
+    spec = ti.build_spec("mm_attention_mil", mode="pathomic",
+                         fusion="tensor", radio_fusion="concat",
+                         n_modalities=4, omic_input_dim=36)
+    sd = ti.variables_to_torch(spec, variables)
+    tm = TorchMMPathOmic(input_dim=36)
+    tm.load_state_dict(sd, strict=True)
+    # fillers are deterministic: re-export produces identical bytes
+    sd2 = ti.variables_to_torch(spec, variables)
+    np.testing.assert_array_equal(
+        sd["attention_net_radio.0.weight"].numpy(),
+        sd2["attention_net_radio.0.weight"].numpy())
+    # and import of the exported file ignores the filler keys
+    back = ti.torch_to_variables(spec, sd, variables)
+    np.testing.assert_allclose(
+        np.asarray(back["params"]["classifier_0"]["kernel"]),
+        np.asarray(variables["params"]["classifier_0"]["kernel"]),
+        rtol=1e-6)
+
+
 def test_pt_roundtrip_with_spec(tmp_path, rng):
     model = MultimodalPretrained(mode="radio_path_omic",
                                  train_type="early-fcnn",

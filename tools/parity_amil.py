@@ -47,6 +47,8 @@ ARMS = {
 
 
 def main(arm: str, base: str) -> int:
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # tiny eval; never grab the TPU
     spec = ARMS[arm]
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from fixtures import make_cohort_csv, make_feature_store, make_splits
@@ -60,8 +62,11 @@ def main(arm: str, base: str) -> int:
     os.makedirs(os.path.join(base, "ref_results"), exist_ok=True)
 
     env = dict(os.environ)
+    # APPEND to the inherited PYTHONPATH (repo CLAUDE.md: the default
+    # /root/.axon_site entry bootstraps the TPU plugin; never replace)
     env["PYTHONPATH"] = ":".join(
-        [os.path.join(REPO, "tools", "ref_shims"), REPO, REF])
+        [os.path.join(REPO, "tools", "ref_shims"), REPO, REF]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     env["JAX_PLATFORMS"] = "cpu"
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),

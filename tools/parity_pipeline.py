@@ -37,8 +37,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _ref_env():
     env = dict(os.environ)
+    # APPEND to the inherited PYTHONPATH (repo CLAUDE.md: the default
+    # /root/.axon_site entry bootstraps the TPU plugin; never replace)
     env["PYTHONPATH"] = ":".join(
-        [os.path.join(REPO, "tools", "ref_shims"), REPO, REF])
+        [os.path.join(REPO, "tools", "ref_shims"), REPO, REF]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     env["JAX_PLATFORMS"] = "cpu"
     return env
 
