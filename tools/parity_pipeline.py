@@ -112,73 +112,108 @@ def main(base: str) -> int:
                 k=2, val_frac=0.3, seed=13)
     ok = True
 
-    # ---- stage 2: reference AMIL training + checkpoint import ----
-    os.makedirs(os.path.join(base, "ref_results"), exist_ok=True)
-    _run_ref(base, "main.py", [
-        "--k", "2", "--which_splits", "2foldcv", "--split_mode",
-        "train_val", "--task", "survival",
-        "--data_root_dir", os.path.join(base, "feat"),
-        "--mode", "path", "--model_type", "path_attention_mil",
-        "--max_epochs", "30", "--bag_loss", "nll_surv",
-        "--batch_size", "1", "--seed", "0", "--n_classes", "4",
-        "--drop_out", "--gate_path", "--alpha_surv", "0.6",
-        "--cancer_type", "brain",
-        "--results_dir", os.path.join(base, "ref_results"),
-        "--overwrite"])
-    exp2 = os.path.join(base, "ref_results", "brain", "2foldcv",
-                        "PATH_a0.6_s0")
-    cfg2 = train_mod.TrainConfig(model_type="path_attention_mil",
-                                 mode="path", bag_loss="nll_surv",
-                                 n_classes=4, gate_path=True,
-                                 drop_out=True, batch_size=1, seed=0)
-    ds2 = SurvivalDataset(csv_path, mode="path",
-                          data_dir=os.path.join(base, "feat", "brain"),
-                          n_bins=4)
-    for fold in (0, 1):
-        results, cindex, variables = _import_and_eval(cfg2, ds2, exp2,
-                                                      fold, 1)
-        ok &= _check_fold("stage2 path-amil", exp2, fold, results, cindex)
-        if fold == 0:
-            # the reference extractor wants a minloss checkpoint; ours
-            # wants msgpack — provide both from the final fold-0 ckpt
-            shutil.copy(os.path.join(exp2, "s_0_checkpoint.pt"),
-                        os.path.join(exp2, "s_0_minloss_checkpoint.pt"))
-            with open(os.path.join(exp2,
-                                   "s_0_minloss_checkpoint.msgpack"),
-                      "wb") as f:
-                f.write(serialization.to_bytes(variables))
+    # stage-2/3 arm configurations: one per extractor branch (path AMIL,
+    # radio AMIL, omic MaxNet; max_net must use cox — the reference's
+    # nll+max_net combination crashes as shipped, see PARITY.md §5)
+    ARMS = {
+        "path": dict(
+            flags=["--mode", "path", "--model_type", "path_attention_mil",
+                   "--bag_loss", "nll_surv", "--batch_size", "1",
+                   "--gate_path"],
+            exp="PATH_a0.6_s0", batch=1,
+            cfg=dict(model_type="path_attention_mil", mode="path",
+                     bag_loss="nll_surv", gate_path=True)),
+        "radio": dict(
+            flags=["--mode", "radio", "--model_type",
+                   "radio_attention_mil", "--bag_loss", "nll_surv",
+                   "--batch_size", "1", "--gate_radio",
+                   "--radio_fusion", "concat",
+                   "--radio_mil_type", "attention"],
+            exp="RADIO_a0.6_s0", batch=1,
+            cfg=dict(model_type="radio_attention_mil", mode="radio",
+                     bag_loss="nll_surv", gate_radio=True,
+                     radio_fusion="concat")),
+        "omic": dict(
+            flags=["--mode", "omic", "--model_type", "max_net",
+                   "--bag_loss", "cox_surv", "--batch_size", "32"],
+            exp="OMICS_a0.6_s0", batch=32,
+            cfg=dict(model_type="max_net", mode="omic",
+                     bag_loss="cox_surv")),
+    }
 
-    # ---- stage 3: embedding extraction, reference vs ours ----
-    _run_ref(base, "pre_trained_feature.py", [
-        "--checkpoint_path", exp2,
-        "--output_dir", os.path.join(base, "ref_embed"),
-        "--which_k", "0", "--extraction_csv_path", csv_path])
+    exp_path = None
+    os.makedirs(os.path.join(base, "ref_results"), exist_ok=True)
     from multimodalfusion_tpu.cli.pre_trained_feature import \
         main as extract_main
-    cwd = os.getcwd()
-    os.chdir(base)  # experiment txt stores cwd-relative csv/split paths
-    try:
-        rc = extract_main(["--checkpoint_path", exp2,
-                           "--output_dir", os.path.join(base, "our_embed"),
-                           "--which_k", "0",
-                           "--extraction_csv_path", csv_path])
-    finally:
-        os.chdir(cwd)
-    assert rc == 0
-    ref_dir = os.path.join(base, "ref_embed", "brain", "path_pt_files")
-    our_dir = os.path.join(base, "our_embed", "brain", "path_pt_files")
-    ref_files = sorted(os.listdir(ref_dir))
-    assert ref_files == sorted(os.listdir(our_dir))
-    worst = 0.0
-    for f in ref_files:
-        a = load_pt(os.path.join(ref_dir, f)).reshape(-1)
-        b = load_pt(os.path.join(our_dir, f)).reshape(-1)
-        worst = max(worst, float(np.abs(a - b).max() /
-                                 max(np.abs(a).max(), 1e-8)))
-    stage3_ok = worst < 1e-4
-    ok &= stage3_ok
-    print(f"[stage3 embeddings] {len(ref_files)} subjects, worst rel "
-          f"|d| {worst:.2e} {'MATCH' if stage3_ok else 'MISMATCH'}")
+    for arm, spec in ARMS.items():
+        # ---- stage 2: reference training + checkpoint import ----
+        _run_ref(base, "main.py", [
+            "--k", "2", "--which_splits", "2foldcv", "--split_mode",
+            "train_val", "--task", "survival",
+            "--data_root_dir", os.path.join(base, "feat"),
+            "--max_epochs", "30", "--seed", "0", "--n_classes", "4",
+            "--drop_out", "--alpha_surv", "0.6", "--cancer_type", "brain",
+            "--results_dir", os.path.join(base, "ref_results"),
+            "--overwrite"] + spec["flags"])
+        exp2 = os.path.join(base, "ref_results", "brain", "2foldcv",
+                            spec["exp"])
+        cfg2 = train_mod.TrainConfig(n_classes=4, drop_out=True,
+                                     batch_size=spec["batch"], seed=0,
+                                     **spec["cfg"])
+        ds2 = SurvivalDataset(csv_path, mode=spec["cfg"]["mode"],
+                              data_dir=os.path.join(base, "feat",
+                                                    "brain"),
+                              n_bins=4)
+        for fold in (0, 1):
+            results, cindex, variables = _import_and_eval(
+                cfg2, ds2, exp2, fold, spec["batch"])
+            ok &= _check_fold(f"stage2 {arm}", exp2, fold, results,
+                              cindex)
+            if fold == 0:
+                # the reference extractor wants a minloss checkpoint;
+                # ours wants msgpack — provide both from the fold-0 ckpt
+                shutil.copy(os.path.join(exp2, "s_0_checkpoint.pt"),
+                            os.path.join(exp2,
+                                         "s_0_minloss_checkpoint.pt"))
+                with open(os.path.join(exp2,
+                                       "s_0_minloss_checkpoint.msgpack"),
+                          "wb") as f:
+                    f.write(serialization.to_bytes(variables))
+        if arm == "path":
+            exp_path = exp2
+
+        # ---- stage 3: embedding extraction, reference vs ours ----
+        _run_ref(base, "pre_trained_feature.py", [
+            "--checkpoint_path", exp2,
+            "--output_dir", os.path.join(base, "ref_embed"),
+            "--which_k", "0", "--extraction_csv_path", csv_path])
+        cwd = os.getcwd()
+        os.chdir(base)  # experiment txt stores cwd-relative paths
+        try:
+            rc = extract_main(
+                ["--checkpoint_path", exp2,
+                 "--output_dir", os.path.join(base, "our_embed"),
+                 "--which_k", "0", "--extraction_csv_path", csv_path])
+        finally:
+            os.chdir(cwd)
+        assert rc == 0
+        sub = f"{arm}_pt_files"
+        ref_dir = os.path.join(base, "ref_embed", "brain", sub)
+        our_dir = os.path.join(base, "our_embed", "brain", sub)
+        ref_files = sorted(os.listdir(ref_dir))
+        assert ref_files == sorted(os.listdir(our_dir)), arm
+        worst = 0.0
+        for f in ref_files:
+            a = load_pt(os.path.join(ref_dir, f)).reshape(-1)
+            b = load_pt(os.path.join(our_dir, f)).reshape(-1)
+            worst = max(worst, float(np.abs(a - b).max() /
+                                     max(np.abs(a).max(), 1e-8)))
+        stage3_ok = worst < 1e-4
+        ok &= stage3_ok
+        print(f"[stage3 {arm} embeddings] {len(ref_files)} subjects, "
+              f"worst rel |d| {worst:.2e} "
+              f"{'MATCH' if stage3_ok else 'MISMATCH'}")
+    exp2 = exp_path  # stage 4 consumes the path embeddings
 
     # ---- stage 4: reference head training + checkpoint import ----
     os.makedirs(os.path.join(base, "ref_results4"), exist_ok=True)
