@@ -63,11 +63,18 @@ def _sync(jax, tree):
 
 
 def bench_batched(setup, iters=100):
+    """Per-dispatch chained steps (each step separately dispatched).
+    Through the axon relay every dispatch adds a multi-ms gap a real
+    (PCIe-attached) host doesn't have, so this UNDERSTATES the chip."""
     (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
      jbatch, B, N, D) = setup
     key = jax.random.PRNGKey(1)
+    # copy state before the donated-arg step so setup's originals survive
+    v0 = jax.tree.map(lambda x: x.copy(), variables)
+    o0 = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                      opt_state)
     # warmup/compile
-    v, o, _ = train_step(variables, opt_state, jbatch, key)
+    v, o, _ = train_step(v0, o0, jbatch, key)
     _sync(jax, v)
     best = 0.0
     for _ in range(3):  # best-of-3: the tunnel-attached chip is noisy
@@ -79,7 +86,40 @@ def bench_batched(setup, iters=100):
     return best
 
 
-def bench_reference_style(setup, iters=30):
+def bench_batched_ingraph(setup, iters=100):
+    """Steady-state device throughput: the same train steps chained
+    inside ONE jitted fori_loop (single dispatch).  On a real host the
+    async dispatch queue hides per-step launch latency, so this is the
+    representative number; through the relay it is the only way to
+    measure the device rather than the tunnel."""
+    (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
+     jbatch, B, N, D) = setup
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def chained(v, o, batch):
+        def body(i, carry):
+            vv, oo = carry
+            vv, oo, _ = train_step(vv, oo, batch,
+                                   jax.random.fold_in(key, i))
+            return (vv, oo)
+        return jax.lax.fori_loop(0, iters, body, (v, o))
+
+    v0 = jax.tree.map(lambda x: x.copy(), variables)
+    o0 = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                      opt_state)
+    v, o = chained(v0, o0, jbatch)
+    _sync(jax, v)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v, o = chained(v, o, jbatch)
+        _sync(jax, v)
+        best = max(best, B * iters / (time.perf_counter() - t0))
+    return best
+
+
+def bench_reference_style(setup, iters=100):
     """Reference architecture on the same chip: batch_size=1, unfused
     softmax pooling, per-bag jit step (the torch pipeline's shape)."""
     (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
@@ -105,14 +145,22 @@ def bench_reference_style(setup, iters=30):
                                       mask=b1["path_mask"],
                                       deterministic=True))
         opt_state1 = tx1.init(variables1["params"])
-        v, o, _ = train_step1(variables1, opt_state1, b1, key)
+        @jax.jit
+        def chained1(v, o, batch):
+            def body(i, carry):
+                vv, oo = carry
+                vv, oo, _ = train_step1(vv, oo, batch,
+                                        jax.random.fold_in(key, i))
+                return (vv, oo)
+            return jax.lax.fori_loop(0, iters, body, (v, o))
+
+        # in-graph chaining, same methodology as bench_batched_ingraph
+        v, o = chained1(variables1, opt_state1, b1)
         _sync(jax, v)
         best = 0.0
-        for _ in range(3):  # best-of-3, matching bench_batched
+        for _ in range(3):
             t0 = time.perf_counter()
-            for i in range(iters):
-                v, o, out = train_step1(v, o, b1,
-                                        jax.random.fold_in(key, i))
+            v, o = chained1(v, o, b1)
             _sync(jax, v)
             best = max(best, iters / (time.perf_counter() - t0))
     finally:
@@ -166,13 +214,15 @@ def main():
     try:
         setup = _setup()
         batched = bench_batched(setup)
+        ingraph = bench_batched_ingraph(setup)
         ref_style = bench_reference_style(setup)
         print(json.dumps({
             "metric": "amil_train_bags_per_sec",
-            "value": round(batched, 2),
+            "value": round(ingraph, 2),
             "unit": "bags/s/chip (4096x1024 WSI bags, nll_surv, "
-                    "fwd+bwd+opt)",
-            "vs_baseline": round(batched / ref_style, 2),
+                    "fwd+bwd+opt, steps chained in-graph)",
+            "vs_baseline": round(ingraph / ref_style, 2),
+            "per_dispatch_bags_per_sec": round(batched, 2),
         }), file=sys.stderr)
     except Exception as e:
         print(f"secondary bench failed: {e}", file=sys.stderr)
