@@ -284,3 +284,31 @@ def test_orbax_roundtrip_sharded(tmp_path):
     assert out["x"].sharding.is_equivalent_to(sh, ndim=1)
     assert int(out["step"]) == 7
     np.testing.assert_array_equal(out["nested"]["y"], tree["nested"]["y"])
+
+
+def test_orbax_resume_with_data_parallel(cohort):
+    """--ckpt_format orbax + --data_parallel: the resume bundle holds
+    mesh-sharded arrays; restore places them back on the mesh and the
+    metrics log continues across the restart."""
+    import json
+    common = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+              "--k", "1", "--k_end", "1", "--model_type", "max_net",
+              "--mode", "omic", "--bag_loss", "cox_surv",
+              "--batch_size", "16", "--lr", "1e-3",
+              "--ckpt_format", "orbax", "--data_parallel",
+              "--data_root_dir", str(cohort / "features"),
+              "--dataset_root", str(cohort / "dataset_csv"),
+              "--splits_root", str(cohort / "splits"),
+              "--results_dir", str(cohort / "results_orbax_dp"),
+              "--overwrite"]
+    assert cli_main(common + ["--max_epochs", "2"]) == 0
+    exp = next((cohort / "results_orbax_dp" / "brain" /
+                "2foldcv").iterdir())
+    assert (exp / "s_0_resume.orbax").is_dir()
+    assert cli_main(common + ["--max_epochs", "4", "--resume"]) == 0
+    lines = [json.loads(l) for l in
+             (exp / "0" / "metrics.jsonl").read_text().splitlines()]
+    assert [l["epoch"] for l in lines] == [0, 1, 2, 3]
+    # and the resumed run still matches the unsharded msgpack pipeline's
+    # artifact contract
+    assert (exp / "s_0_checkpoint.msgpack").exists()
