@@ -95,11 +95,16 @@ def _embedder_from_config(m, p):
 
 
 def _extract_missing_features(slide, feat_h5, tissue, holes, embedder,
-                              patch_size, patch_level=0):
+                              patch_size, patch_level=0, chunk=512):
     """Segment -> patch -> embed a bare slide into a features h5 when none
     exists (ref heatmap_utils.process_single_slide :288-411 falls back to
-    compute_from_patches when the h5 is absent)."""
+    compute_from_patches when the h5 is absent).
+
+    Patches are read/resized in bounded host-side chunks overlapped with
+    device embedding (a 40k-patch slide would otherwise need ~8 GB of
+    uint8 patches resident at once)."""
     from multimodalfusion_tpu.data.io import save_hdf5
+    from multimodalfusion_tpu.data.loaders import prefetch
     from multimodalfusion_tpu.data.wsi import process_contours, read_patches
     coords, _ = process_contours(slide, tissue, holes,
                                  patch_level=patch_level,
@@ -108,12 +113,21 @@ def _extract_missing_features(slide, feat_h5, tissue, holes, embedder,
     if len(coords) == 0:
         raise ValueError("no tissue patches found for on-the-fly "
                          "feature extraction")
-    patches = read_patches(slide, coords, patch_level, patch_size)
-    if patches.shape[1] != embedder.image_size:
-        patches = np.stack([
-            cv2.resize(pch, (embedder.image_size, embedder.image_size))
-            for pch in patches])
-    feats = embedder.embed_images(patches)
+
+    def _chunks():
+        for start in range(0, len(coords), chunk):
+            patches = read_patches(slide, coords[start:start + chunk],
+                                   patch_level, patch_size)
+            if patches.shape[1] != embedder.image_size:
+                patches = np.stack([
+                    cv2.resize(pch, (embedder.image_size,
+                                     embedder.image_size))
+                    for pch in patches])
+            yield patches
+
+    feats = np.concatenate(
+        [embedder.embed_images(p) for p in prefetch(_chunks(), depth=2)],
+        axis=0)
     ensure_dir(os.path.dirname(feat_h5))
     save_hdf5(feat_h5, {"features": feats.astype(np.float32),
                         "coords": np.asarray(coords, np.int64)}, mode="w")

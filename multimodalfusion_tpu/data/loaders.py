@@ -113,11 +113,31 @@ def iter_batches(split: Split, batch_size: int = 1, shuffle: bool = False,
         rng.shuffle(order)
 
     n_radio_feat = len(ds.modalities) * 1024
+    warned = False
     for start in range(0, len(order), batch_size):
         chunk = order[start:start + batch_size]
         if drop_last and len(chunk) < batch_size:
             return
         samples = [split.get_sample(i) for i in chunk]
+        if not ds.pretrained:
+            # usable_indices pre-filters by file EXISTENCE only
+            # (probe_present); a file that exists but fails to load
+            # (truncated pt, corrupt h5) surfaces here — drop the sample
+            # instead of collating a zero bag with valid=1
+            kept = [s for s in samples
+                    if all(s.present.get(m, False)
+                           for m in ("radio", "path", "omic")
+                           if m in ds.mode)]
+            if len(kept) < len(samples) and not warned:
+                kept_ids = {id(s) for s in kept}
+                bad = [s.subject_id for s in samples
+                       if id(s) not in kept_ids]
+                print(f"WARNING: dropping samples with unloadable "
+                      f"modalities (corrupt files?): {bad[:5]}...")
+                warned = True
+            samples = kept
+            if not samples:
+                continue
         yield _batch_from_samples(samples, ds.mode, ds.pretrained,
                                   batch_size, n_radio_feat,
                                   reuse_buffers=reuse_collation_buffers)

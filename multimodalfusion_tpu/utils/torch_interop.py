@@ -173,18 +173,8 @@ def _mm_attention_mil_spec(mode, fusion, radio_fusion, gate, gate_path,
     entries) so the exported .pt loads reference-side with strict=True.
     'small' model sizes assumed (1024/256, ref :28-30)."""
     es: List[Entry] = []
-    if "radio" in mode:
-        if n_modalities > 1:
-            if radio_fusion == "tensor":
-                es += _xfusion_entries("radio_xfusion", ["radio_xfusion"],
-                                       n_modalities)
-            else:
-                es.append(("linear", "reduce_dim", ["reduce_dim"]))
-        elif radio_fusion != "tensor":
-            # the reference builds reduce_dim for concat even with one
-            # modality (Linear(1024, 1024), ref :61)
-            es.append(("fill_linear", "reduce_dim",
-                       (1024 * n_modalities, 1024)))
+    have_radio = "radio" in mode
+    if have_radio:
         es.append(("linear", "attention_net_radio.0", ["fc_radio"]))
         es.append(("attn", "attention_net_radio.3", ["attention_net_radio"],
                    gate_radio, attn_dropout))
@@ -192,7 +182,24 @@ def _mm_attention_mil_spec(mode, fusion, radio_fusion, gate, gate_path,
         es.append(("fill_linear", "attention_net_radio.0", (1024, 256)))
         es.append(("fill_attn", "attention_net_radio.3", (256, 256),
                    gate_radio, attn_dropout))
-        if radio_fusion != "tensor":
+    # the reference builds the radio_fusion module from radio_fusion
+    # ALONE, regardless of mode/modality count (ref :56-61): radio in
+    # mode with >1 modality maps to real params, everything else fills
+    if radio_fusion == "tensor":
+        if have_radio and n_modalities > 1:
+            es += _xfusion_entries("radio_xfusion", ["radio_xfusion"],
+                                   n_modalities)
+        else:
+            # XlinearFusion(dim=1024, scale_dim=64, mmhid1/2=1024,
+            # skip=0, gate default) (ref :57)
+            es.append(("fill_xfusion", "radio_xfusion",
+                       (1024, 64, 1024, 1024, n_modalities, True, False)))
+    else:
+        if have_radio and n_modalities > 1:
+            es.append(("linear", "reduce_dim", ["reduce_dim"]))
+        else:
+            # reduce_dim exists for concat even with one modality or no
+            # radio branch (Linear(1024*n, 1024), ref :61)
             es.append(("fill_linear", "reduce_dim",
                        (1024 * n_modalities, 1024)))
     if "path" in mode:
@@ -341,11 +348,39 @@ def _fill_linear(sd, tp, in_dim, out_dim, torch):
     """Deterministic xavier-normal weights + zero bias for a reference
     module our mode-gated flax model never instantiates (the reference
     builds every branch unconditionally and its checkpoints carry the
-    never-trained params; strict load_state_dict needs the keys)."""
-    std = float(np.sqrt(2.0 / (in_dim + out_dim)))
-    w = _fill_rng(tp).normal(0.0, std, size=(out_dim, in_dim))
-    sd[f"{tp}.weight"] = torch.tensor(w.astype(np.float32))
+    never-trained params; strict load_state_dict needs the keys).
+    Very large fills (the Kronecker encoder1 reaches (dim+1)^n inputs)
+    are zero-filled — generating 10^8 random values per checkpoint save
+    would dominate export time, and the branch is unused either way."""
+    if in_dim * out_dim > 4_000_000:
+        w = np.zeros((out_dim, in_dim), np.float32)
+    else:
+        std = float(np.sqrt(2.0 / (in_dim + out_dim)))
+        w = _fill_rng(tp).normal(0.0, std,
+                                 size=(out_dim, in_dim)).astype(np.float32)
+    sd[f"{tp}.weight"] = torch.tensor(w)
     sd[f"{tp}.bias"] = torch.zeros(out_dim)
+
+
+def _fill_xfusion(sd, tp, dim_og, scale_dim, mmhid1, mmhid2, n_mod, gate,
+                  skip, torch):
+    """Reference XlinearFusion layout (model_modules.py:113-155):
+    reduce.{i} = [Sequential(Linear(dim_og, d)), Sequential(Linear(
+    dim_og*n, d)) if gate, Sequential(Linear(d, d))], encoder1.0 =
+    Linear((d+1)^n, mmhid1), encoder2.0 = Linear(mmhid1+skip_dim,
+    mmhid2)."""
+    d = dim_og // scale_dim
+    for i in range(n_mod):
+        _fill_linear(sd, f"{tp}.reduce.{i}.0.0", dim_og, d, torch)
+        if gate:
+            _fill_linear(sd, f"{tp}.reduce.{i}.1.0", dim_og * n_mod, d,
+                         torch)
+            _fill_linear(sd, f"{tp}.reduce.{i}.2.0", d, d, torch)
+        else:
+            _fill_linear(sd, f"{tp}.reduce.{i}.1.0", d, d, torch)
+    _fill_linear(sd, f"{tp}.encoder1.0", (d + 1) ** n_mod, mmhid1, torch)
+    skip_dim = dim_og * n_mod if skip else 0
+    _fill_linear(sd, f"{tp}.encoder2.0", mmhid1 + skip_dim, mmhid2, torch)
 
 
 def _fill_attn(sd, tp, L, D, gated, dropout, torch):
@@ -389,7 +424,7 @@ def torch_to_variables(spec: Sequence[Entry], state_dict: Dict,
                      np.asarray(sd[f"{tp}.running_var"]))
         elif kind == "attn":
             _attn_import(sd, params, tp, fp, entry[3], entry[4])
-        elif kind in ("fill_linear", "fill_attn"):
+        elif kind in ("fill_linear", "fill_attn", "fill_xfusion"):
             pass  # export-only placeholders; nothing to import
         else:
             raise ValueError(kind)
@@ -435,6 +470,8 @@ def variables_to_torch(spec: Sequence[Entry], variables: Dict) -> Dict:
         elif kind == "fill_attn":
             L, D = entry[2]
             _fill_attn(sd, tp, L, D, entry[3], entry[4], torch)
+        elif kind == "fill_xfusion":
+            _fill_xfusion(sd, tp, *entry[2], torch)
         else:
             raise ValueError(kind)
     return sd

@@ -473,6 +473,50 @@ def test_mm_partial_mode_export_strict_fills_inactive_branches(rng):
         rtol=1e-6)
 
 
+def test_mm_tensor_radio_fusion_fill_strict(rng):
+    """radio_fusion='tensor' with no radio branch in the mode: the
+    reference still builds radio_xfusion (model_mm_attention_mil.py:57),
+    so the export must fill its full XlinearFusion key set."""
+
+    class TorchMMPathOmicTensorRadio(tnn.Module):
+        def __init__(self, input_dim=36, n_modalities=2, n_classes=4):
+            super().__init__()
+            self.fc_omic = tnn.Sequential(
+                tnn.Sequential(tnn.Linear(input_dim, 256), tnn.SELU(),
+                               tnn.AlphaDropout(0.25)),
+                tnn.Sequential(tnn.Linear(256, 256), tnn.SELU(),
+                               tnn.AlphaDropout(0.25)))
+            self.attention_net_radio = tnn.Sequential(
+                tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                TorchGatedAttn())
+            self.radio_xfusion = TorchXlinearFusion(
+                dim=1024, scale_dim=64, mmhid1=1024, mmhid2=1024,
+                num_modalities=n_modalities, skip=0)
+            self.attention_net_WSI = tnn.Sequential(
+                tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                TorchGatedAttn())
+            self.mm = TorchXlinearFusion(dim=256, scale_dim=16,
+                                         mmhid1=512, mmhid2=512,
+                                         num_modalities=2, skip=1)
+            self.classifier = tnn.Sequential(
+                tnn.Linear(512, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                tnn.Linear(256, n_classes))
+
+    model = MMAttentionMIL(mode="pathomic", n_modalities=2,
+                           omic_input_dim=36, fusion="tensor",
+                           radio_fusion="tensor")
+    inputs = dict(path_bags=jnp.zeros((1, 5, 1024)),
+                  path_mask=jnp.ones((1, 5)),
+                  genomic=jnp.zeros((1, 36)))
+    variables = model.init(KEY, **inputs)
+    spec = ti.build_spec("mm_attention_mil", mode="pathomic",
+                         fusion="tensor", radio_fusion="tensor",
+                         n_modalities=2, omic_input_dim=36)
+    sd = ti.variables_to_torch(spec, variables)
+    tm = TorchMMPathOmicTensorRadio(input_dim=36)
+    tm.load_state_dict(sd, strict=True)
+
+
 def test_pt_roundtrip_with_spec(tmp_path, rng):
     model = MultimodalPretrained(mode="radio_path_omic",
                                  train_type="early-fcnn",
