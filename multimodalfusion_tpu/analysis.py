@@ -37,23 +37,24 @@ def logrank_test(event_a, time_a, event_b, time_b) -> Tuple[float, float]:
     event_b = np.asarray(event_b, bool)
     time_a = np.asarray(time_a, float)
     time_b = np.asarray(time_b, float)
-    all_event_times = np.unique(np.concatenate(
-        [time_a[event_a], time_b[event_b]]))
-    O_minus_E = 0.0
-    V = 0.0
-    for t in all_event_times:
-        n_a = np.sum(time_a >= t)
-        n_b = np.sum(time_b >= t)
-        d_a = np.sum((time_a == t) & event_a)
-        d_b = np.sum((time_b == t) & event_b)
-        n = n_a + n_b
-        d = d_a + d_b
-        if n <= 1:
-            continue
-        e_a = d * n_a / n
-        v = d * (n_a / n) * (n_b / n) * (n - d) / (n - 1)
-        O_minus_E += d_a - e_a
-        V += v
+    ts = np.unique(np.concatenate([time_a[event_a], time_b[event_b]]))
+    # vectorized over the event-time axis (this sits inside 1000x
+    # bootstrap loops): at-risk counts via searchsorted on sorted times,
+    # per-time event counts via searchsorted on sorted event times
+    sa, sb = np.sort(time_a), np.sort(time_b)
+    n_a = len(sa) - np.searchsorted(sa, ts, side="left")
+    n_b = len(sb) - np.searchsorted(sb, ts, side="left")
+    ea, eb = np.sort(time_a[event_a]), np.sort(time_b[event_b])
+    d_a = (np.searchsorted(ea, ts, side="right")
+           - np.searchsorted(ea, ts, side="left"))
+    d_b = (np.searchsorted(eb, ts, side="right")
+           - np.searchsorted(eb, ts, side="left"))
+    n = n_a + n_b
+    d = d_a + d_b
+    ok = n > 1
+    n, n_a, n_b, d, d_a = n[ok], n_a[ok], n_b[ok], d[ok], d_a[ok]
+    O_minus_E = float(np.sum(d_a - d * n_a / n))
+    V = float(np.sum(d * (n_a / n) * (n_b / n) * (n - d) / (n - 1)))
     if V <= 0:
         return 0.0, 1.0
     chi2 = O_minus_E ** 2 / V
@@ -69,6 +70,26 @@ def risk_groups(risk: np.ndarray, cutoff: Optional[float] = None
     if cutoff is None:
         cutoff = float(np.median(risk))
     return (risk > cutoff).astype(int)
+
+
+def hazard2grade(risk: np.ndarray, cuts: Sequence[float]) -> np.ndarray:
+    """Grade each risk by its position among percentile cutpoints (ref
+    evaluation.py:80-84): grade g means cuts[g-1] <= risk < cuts[g];
+    below cuts[0] is 0, at/above cuts[-1] is len(cuts)."""
+    return np.searchsorted(np.asarray(cuts, float),
+                           np.asarray(risk, float), side="right")
+
+
+def stratify_risk(risk: np.ndarray,
+                  percentiles: Sequence[float] = (50,)) -> np.ndarray:
+    """Multi-percentile risk stratification (ref evaluation.py:95-113,
+    197-361): cutpoints at the given risk percentiles; returns the
+    grade per subject (0 = lowest-risk stratum).  [50] gives the median
+    split; [25, 50, 75] gives quartiles whose extremes (0 vs 3) the
+    reference compares in getPValue_25_75."""
+    risk = np.asarray(risk, float)
+    p = np.percentile(risk, list(percentiles))
+    return hazard2grade(risk, p)
 
 
 # ---------------------------------------------------------------------------
@@ -136,19 +157,130 @@ def summarize_experiments(results_root: str,
         drop=True) if rows else pd.DataFrame()
 
 
-def km_by_risk_group(results_pkl: dict):
-    """KM curves + logrank p for median-split risk groups; returns a dict
-    ready for plotting or CSV export."""
+def km_by_risk_group(results_pkl: dict,
+                     percentiles: Sequence[float] = (50,)):
+    """KM curves + logrank p for percentile-stratified risk groups (ref
+    makeKaplanMeierPlot_Strat / getPValue, evaluation.py:95-113,197-280).
+
+    The logrank compares the LOWEST vs HIGHEST stratum — for [50]
+    that's the median split; for [25, 50, 75] the extreme quartiles
+    (ref getPValue_25_75 compares strat 0 vs strat 3).  Returns curves
+    for every stratum plus the extreme-pair test."""
     df = load_risk_df(results_pkl)
-    hi = df[df.risk_group == 1]
-    lo = df[df.risk_group == 0]
-    t_hi, s_hi = km_curve(hi["event"].values, hi["survival"].values)
-    t_lo, s_lo = km_curve(lo["event"].values, lo["survival"].values)
+    strat = stratify_risk(df["risk"].values, percentiles)
+    n_strata = len(percentiles) + 1
+    out = {"strata": []}
+    for g in range(n_strata):
+        sel = df[strat == g]
+        if len(sel) == 0:
+            out["strata"].append({"n": 0, "curve": None})
+            continue
+        t, s = km_curve(sel["event"].values, sel["survival"].values)
+        out["strata"].append({"n": len(sel), "curve": (t, s)})
+    lo = df[strat == 0]
+    hi = df[strat == n_strata - 1]
     chi2, p = logrank_test(hi["event"].values, hi["survival"].values,
                            lo["event"].values, lo["survival"].values)
-    return {"high": (t_hi, s_hi), "low": (t_lo, s_lo),
-            "logrank_chi2": chi2, "logrank_p": p,
-            "n_high": len(hi), "n_low": len(lo)}
+    lo_c = out["strata"][0]["curve"]
+    hi_c = out["strata"][-1]["curve"]
+    out.update({"high": hi_c, "low": lo_c,
+                "logrank_chi2": chi2, "logrank_p": p,
+                "n_high": len(hi), "n_low": len(lo),
+                "percentiles": list(percentiles)})
+    return out
+
+
+def pool_folds_by_subject(dfs: Sequence[pd.DataFrame],
+                          overall_func: str = "mean") -> pd.DataFrame:
+    """Pool per-fold result frames into one row per subject with the
+    mean/median/max risk across folds (ref utils_summary.py
+    result_plot/overall_cindex groupby-subject aggregation)."""
+    a = pd.concat(list(dfs), axis=0)
+    agg = getattr(a.groupby("subject_id")["risk"], overall_func)()
+    pooled = pd.DataFrame(agg).reset_index().merge(
+        a[["subject_id", "censorship", "survival"]].drop_duplicates(
+            subset="subject_id"),
+        on="subject_id", how="left")
+    return pooled
+
+
+def hazard_histogram(results_df: pd.DataFrame, out_path: str,
+                     cutoff: float = 0.0, zscore: bool = True,
+                     bins: int = 15, density: bool = True) -> dict:
+    """Hazard histogram of z-scored risks for short- vs long-surviving
+    UNCENSORED patients (ref makeHazardHistogram, evaluation.py:115-157:
+    default cutoff = median uncensored survival in years, groups split
+    at 12*cutoff months, censored patients excluded from both).
+
+    Saves a PNG and returns the two groups' histogram arrays for
+    testing/CSV export."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    df = results_df.copy()
+    risk = np.asarray(df["risk"], float)
+    if zscore:
+        mu, sd = risk.mean(), risk.std()
+        risk = (risk - mu) / (sd if sd > 0 else 1.0)
+        df["risk"] = risk
+    events = df[df["censorship"] == 0]
+    if cutoff == 0.0:
+        cutoff = float(np.median(events["survival"])) / 12.0
+    low = events[events["survival"] <= 12 * cutoff]["risk"].values
+    high = events[events["survival"] > 12 * cutoff]["risk"].values
+    fig, ax = plt.subplots(figsize=(8, 8))
+    h_low = h_high = (np.array([]), np.array([]))
+    if len(low):
+        h_low = ax.hist(low, bins=bins, density=density, histtype="stepfilled",
+                        linewidth=1, alpha=0.5, color="salmon",
+                        label=f"Patient Survival < {cutoff:0.1f}")[:2]
+    if len(high):
+        h_high = ax.hist(high, bins=bins, density=density,
+                         histtype="stepfilled", linewidth=1, alpha=0.5,
+                         color="mediumslateblue",
+                         label=f"Patient Survival > {cutoff:0.1f}")[:2]
+    ax.set_xlabel("Hazard (Z-Scored)" if zscore else "Hazard")
+    ax.set_ylabel("Density (Normalized)" if density else "Count")
+    ax.spines["right"].set_visible(False)
+    ax.spines["top"].set_visible(False)
+    ax.legend(loc="upper right")
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return {"cutoff_years": cutoff, "low": h_low, "high": h_high,
+            "n_low": len(low), "n_high": len(high)}
+
+
+def survival_auc(train_event, train_time, test_event, test_time, risk,
+                 times=None):
+    """Time-dependent AUC + IPCW c-index + Harrell c-index for a result
+    set, against a training cohort's censoring distribution (ref
+    survival_AUC, utils_analysis/evaluation.py:559-580: sksurv
+    cumulative_dynamic_auc + concordance_index_ipcw at tau=times[-1] +
+    concordance_index_censored; test subjects beyond the train
+    follow-up are dropped as the reference does).
+
+    Returns (iauc, ipcw_cindex, harrell_cindex)."""
+    train_event = np.asarray(train_event, bool)
+    train_time = np.asarray(train_time, float)
+    test_event = np.asarray(test_event, bool)
+    test_time = np.asarray(test_time, float)
+    risk = np.asarray(risk, float)
+    harrell = metrics_mod.concordance_index_censored(
+        test_event, test_time, risk, tied_tol=1e-5)[0]
+    keep = test_time <= train_time.max()
+    test_event, test_time, risk = (test_event[keep], test_time[keep],
+                                   risk[keep])
+    if times is None:
+        # percentile grid over the observed test follow-up, strictly
+        # inside the range so cases and controls both exist
+        times = np.percentile(test_time, np.linspace(5, 81, 15))
+    times = np.asarray(times, float)
+    _, iauc = metrics_mod.cumulative_dynamic_auc(
+        train_event, train_time, test_event, test_time, risk, times)
+    ipcw_c = metrics_mod.concordance_index_ipcw(
+        train_event, train_time, test_event, test_time, risk,
+        tau=float(times[-1]))[0]
+    return float(iauc), float(ipcw_c), float(harrell)
 
 
 def plot_km(groups: dict, out_path: str, title: str = ""):
@@ -157,10 +289,25 @@ def plot_km(groups: dict, out_path: str, title: str = ""):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     fig, ax = plt.subplots(figsize=(6, 5))
-    for label, color in (("high", "tab:red"), ("low", "tab:blue")):
-        t, s = groups[label]
-        ax.step(t, s, where="post", color=color,
-                label=f"{label} risk (n={groups[f'n_{label}']})")
+    strata = groups.get("strata", [])
+    if len(strata) > 2:
+        # multi-percentile stratification: draw every stratum on a
+        # blue->red gradient (ref makeKaplanMeierPlot_Strat quartiles)
+        cmap = plt.get_cmap("coolwarm")
+        for g, st in enumerate(strata):
+            if st["curve"] is None:
+                continue
+            t, s = st["curve"]
+            ax.step(t, s, where="post",
+                    color=cmap(g / (len(strata) - 1)),
+                    label=f"stratum {g} (n={st['n']})")
+    else:
+        for label, color in (("high", "tab:red"), ("low", "tab:blue")):
+            if groups[label] is None:
+                continue
+            t, s = groups[label]
+            ax.step(t, s, where="post", color=color,
+                    label=f"{label} risk (n={groups[f'n_{label}']})")
     ax.set_xlabel("time (months)")
     ax.set_ylabel("survival probability")
     ax.set_ylim(0, 1.05)

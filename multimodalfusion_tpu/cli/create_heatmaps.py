@@ -217,12 +217,24 @@ def run_path_branch(cfg_ns) -> int:
             roi_kwargs = dict(
                 top_left=(int(row["x1"]), int(row["y1"])),
                 bot_right=(int(row["x2"]), int(row["y2"])))
-        heat = draw_heatmap(slide, scores, coords, patch_size=patch_size,
+        # use_ref_scores: scores reach draw_heatmap already in percentile
+        # units (ref create_heatmaps.py:319 sets convert_to_percentiles
+        # False only because compute_from_patches pre-converted them via
+        # score2percentile, heatmap_utils.py:99,138 — never raw logits).
+        # For the coarse blockmap draw the reference distribution is the
+        # blockmap itself.
+        use_ref_scores = bool(getattr(h, "use_ref_scores", False))
+        draw_scores = scores
+        if use_ref_scores:
+            from multimodalfusion_tpu.interpret.heatmaps import \
+                score_to_percentile
+            draw_scores = score_to_percentile(scores, scores) / 100.0
+        heat = draw_heatmap(slide, draw_scores, coords,
+                            patch_size=patch_size,
                             vis_level=vis_level, **roi_kwargs,
                             alpha=float(getattr(h, "alpha", 0.4)),
                             blur=bool(getattr(h, "blur", False)),
-                            use_percentiles=not bool(
-                                getattr(h, "use_ref_scores", False)),
+                            use_percentiles=not use_ref_scores,
                             binarize=bool(getattr(h, "binarize", False)),
                             threshold=float(getattr(h, "binary_thresh",
                                                     -1.0)),
@@ -265,11 +277,19 @@ def run_path_branch(cfg_ns) -> int:
                 slide, *_contours(), embedder, score_fn,
                 patch_size=patch_size, overlap=overlap)
             if len(fcoords):
-                fine = draw_heatmap(slide, fscores, fcoords,
+                # use_ref_scores ranks the fine scores on the COARSE
+                # blockmap distribution (ref compute_from_patches
+                # ref_scores arg, heatmap_utils.py:99,138)
+                fdraw = fscores
+                if use_ref_scores:
+                    from multimodalfusion_tpu.interpret.heatmaps import \
+                        score_to_percentile
+                    fdraw = score_to_percentile(fscores, scores) / 100.0
+                fine = draw_heatmap(slide, fdraw, fcoords,
                                     patch_size=patch_size,
                                     alpha=float(getattr(h, "alpha", 0.4)),
                                     blur=True, overlap=overlap,
-                                    use_percentiles=True,
+                                    use_percentiles=not use_ref_scores,
                                     cmap=getattr(h, "cmap", "coolwarm"),
                                     **seg_kwargs)
                 out_f = os.path.join(save_dir, f"{stem}_fine_heatmap.jpg")
@@ -400,6 +420,22 @@ def run_radio_branch(cfg_ns) -> int:
                 continue
             path = os.path.join(getattr(d, "scan_dir", "."),
                                 str(scans.loc[subject, display_mod]))
+            # cheap pre-check: the display modality's feature h5 carries
+            # the slice-id map the preprocessed volume will reproduce —
+            # skip the (expensive) full-volume re-preprocess when none
+            # of the selected top/low slices can be rendered from it
+            sel_ids = set(int(s) for s in
+                          grp[grp.group.isin(("top", "low"))].slice_index)
+            try:
+                _, disp_ids = load_features_h5(os.path.join(
+                    d.feat_dir, "radio_h5_files", display_mod,
+                    f"{subject}.h5"))
+                if not sel_ids & set(int(s) for s in np.asarray(disp_ids)):
+                    print(f"skipping {subject}: no selected slice exists "
+                          f"in {display_mod}")
+                    continue
+            except OSError:
+                pass  # no h5 to pre-check against; preprocess and see
             try:
                 if is_ct:
                     slices, slice_ids = preprocess_lung_scan(path)

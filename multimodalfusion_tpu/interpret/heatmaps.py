@@ -15,6 +15,27 @@ def to_percentiles(scores: np.ndarray) -> np.ndarray:
     return rankdata(scores, "average") / len(scores) * 100
 
 
+def score_to_percentile(scores: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Percentile rank of each score against a reference distribution
+    (vectorized scipy.stats.percentileofscore(kind='rank'), ref
+    heatmap_utils.py:32-34 score2percentile).  Used by the
+    ``use_ref_scores`` heatmap path: fine-pass scores are ranked on the
+    coarse blockmap's score distribution instead of their own."""
+    ref = np.sort(np.asarray(ref).reshape(-1))
+    s = np.asarray(scores).reshape(-1)
+    n = len(ref)
+    if n == 0:
+        return np.zeros_like(s, dtype=np.float64)
+    left = np.searchsorted(ref, s, side="left")
+    right = np.searchsorted(ref, s, side="right")
+    # kind='rank': mean 1-based rank over ties when present, else the
+    # weak count
+    present = right > left
+    rank = np.where(present, left + (right - left + 1) / 2.0,
+                    right.astype(np.float64))
+    return rank / n * 100.0
+
+
 def screen_coords(scores: np.ndarray, coords: np.ndarray, top_left,
                   bot_right):
     """Keep (score, coord) pairs inside the level-0 bbox

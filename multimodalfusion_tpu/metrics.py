@@ -155,6 +155,128 @@ def integrated_brier_score(train_event, train_time, test_event, test_time,
     return np.trapezoid(scores, times) / (times[-1] - times[0])
 
 
+def _ipcw_weights(train_event, train_time, test_event, test_time):
+    """1/G(t_i) for test events (0 for censored), with the censoring
+    survival G estimated from the training cohort (reverse KM) — the
+    sksurv ``CensoringDistributionEstimator.predict_ipcw`` convention.
+    Queries past the last training time take the last G value."""
+    g_t, g_v = censoring_survival(train_event, train_time)
+    test_event = np.asarray(test_event, dtype=bool)
+    test_time = np.asarray(test_time, dtype=np.float64)
+    G = _step_lookup(g_t, g_v, test_time)
+    if np.any((G <= 0) & test_event):
+        raise ValueError("censoring survival function is zero at one or "
+                         "more event times")
+    w = np.zeros(len(test_time))
+    w[test_event] = 1.0 / G[test_event]
+    return w
+
+
+def concordance_index_ipcw(train_event, train_time, test_event, test_time,
+                           estimate, tau=None, tied_tol: float = 1e-8):
+    """Uno's IPCW concordance index — native port of
+    ``sksurv.metrics.concordance_index_ipcw`` (the reference calls it in
+    utils_analysis/evaluation.py:578 via ``survival_AUC``).
+
+    Pairs are the same as Harrell's (event i, with j surviving longer or
+    censored at i's time); each row i is weighted by 1/G(t_i)^2 where G
+    is the train-cohort censoring survival.  ``tau`` truncates: rows
+    with t_i >= tau get weight 0.
+
+    Returns (cindex, concordant, discordant, tied_risk, tied_time) with
+    the count fields unweighted, matching sksurv.
+    """
+    event = np.asarray(test_event, dtype=bool)
+    time = np.asarray(test_time, dtype=np.float64)
+    est = np.asarray(estimate, dtype=np.float64)
+    if not event.any():
+        raise ValueError("All samples are censored")
+
+    ipcw = _ipcw_weights(train_event, train_time, event, time)
+    w = np.square(ipcw)
+    if tau is not None:
+        w = np.where(time < tau, w, 0.0)
+
+    later = time[None, :] > time[:, None]
+    tied_at = (time[None, :] == time[:, None]) & (~event)[None, :]
+    comp = event[:, None] & (later | tied_at)
+    np.fill_diagonal(comp, False)
+
+    diff = est[:, None] - est[None, :]
+    tied_risk_mat = np.abs(diff) <= tied_tol
+    concordant_mat = (diff > 0) & ~tied_risk_mat
+
+    numerator = np.sum(w[:, None] * comp * (concordant_mat
+                                            + 0.5 * tied_risk_mat))
+    denominator = np.sum(w[:, None] * comp)
+    if denominator == 0:
+        raise ValueError("No comparable pairs")
+
+    concordant = int(np.sum(comp & concordant_mat))
+    tied_risk = int(np.sum(comp & tied_risk_mat))
+    discordant = int(np.sum(comp)) - concordant - tied_risk
+    tied_time = int(np.sum(event[:, None] & tied_at))
+    return (numerator / denominator, concordant, discordant, tied_risk,
+            tied_time)
+
+
+def cumulative_dynamic_auc(train_event, train_time, test_event, test_time,
+                           estimate, times):
+    """Time-dependent cumulative/dynamic AUC — native port of
+    ``sksurv.metrics.cumulative_dynamic_auc`` (reference
+    utils_analysis/evaluation.py:577).
+
+    At each query time t, cases are subjects with an event by t
+    (IPCW-weighted by 1/G(t_i), G from the train cohort) and controls
+    those still at risk after t; AUC(t) is the area under the
+    tie-pooled weighted ROC.  The summary ``mean_auc`` integrates
+    AUC(t) against the test cohort's KM survival:
+    sum(AUC(t_k) * (S(t_{k-1}) - S(t_k))) / (1 - S(t_max)).
+
+    Returns (auc_per_time [len(times)], mean_auc).
+    """
+    event = np.asarray(test_event, dtype=bool)
+    time = np.asarray(test_time, dtype=np.float64)
+    est = np.asarray(estimate, dtype=np.float64)
+    times = np.atleast_1d(np.asarray(times, dtype=np.float64))
+
+    ipcw = _ipcw_weights(train_event, train_time, event, time)
+
+    order = np.argsort(-est, kind="stable")
+    est_ord = est[order]
+    time_ord = time[order]
+    event_ord = event[order]
+    ipcw_ord = ipcw[order]
+    # pool thresholds with tied estimates: keep the last of each run
+    keep = np.concatenate([np.diff(est_ord) != 0, [True]])
+
+    scores = np.empty(len(times))
+    for k, t in enumerate(times):
+        is_case = (time_ord <= t) & event_ord
+        is_control = time_ord > t
+        n_controls = int(is_control.sum())
+        cum_tp = np.cumsum(is_case * ipcw_ord)
+        cum_fp = np.cumsum(is_control)
+        if cum_tp[-1] == 0 or n_controls == 0:
+            scores[k] = np.nan
+            continue
+        tpr = cum_tp[keep] / cum_tp[-1]
+        fpr = cum_fp[keep] / n_controls
+        scores[k] = np.trapezoid(np.concatenate([[0.0], tpr]),
+                                 np.concatenate([[0.0], fpr]))
+
+    if len(times) == 1:
+        return scores, float(scores[0])
+    s_t, s_v = kaplan_meier(event, time)
+    S = _step_lookup(s_t, s_v, times)
+    d = -np.diff(np.concatenate([[1.0], S]))
+    valid = ~np.isnan(scores)
+    denom = 1.0 - S[-1]
+    mean_auc = (float(np.sum(scores[valid] * d[valid]) / denom)
+                if denom > 0 else float("nan"))
+    return scores, mean_auc
+
+
 def survival_probs_at_times(S_bins, bin_edges, times):
     """Interpolate per-bin survival S[B, K] (survival through bin k) onto
     arbitrary query times using the discrete model's step structure.

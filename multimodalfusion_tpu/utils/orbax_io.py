@@ -65,5 +65,20 @@ def restore_tree(path: str, template: Any) -> Any:
 
 
 def exists(path: str) -> bool:
-    """True when ``path`` holds a complete orbax checkpoint."""
-    return os.path.isdir(path) and bool(os.listdir(path))
+    """True when ``path`` holds a complete (finalized) orbax checkpoint
+    — a foreign or partially-written directory at the resume path must
+    read as absent so --resume starts fresh instead of crashing in
+    restore."""
+    if not (os.path.isdir(path) and os.listdir(path)):
+        return False
+    import orbax.checkpoint as ocp
+    try:
+        if not ocp.utils.is_checkpoint_finalized(path):
+            return False
+    except Exception:
+        # is_checkpoint_finalized raises on non-checkpoint layouts
+        return False
+    # a finalized StandardCheckpointer dir carries the pytree metadata;
+    # its absence means some other tool populated the directory
+    names = set(os.listdir(path))
+    return bool(names & {"_METADATA", "manifest.ocdbt", "d", "metadata"})

@@ -77,6 +77,22 @@ def _xfusion_entries(tp: str, fp: List[str], n_mod: int,
     return es
 
 
+def _radio_xfusion_entries(n_modalities: int) -> List[Entry]:
+    """The reference constructs the radiology XlinearFusion with the
+    DEFAULT num_modalities=4 regardless of the actual sequence count
+    (model_mm_attention_mil.py:57, model_attention_mil_radio.py:29), so
+    its checkpoints always carry 4 reduce blocks, a 4096-wide linear_z
+    and a 17**4-wide encoder1 (its forward crashes for any other count,
+    so !=4 configs are never runnable reference-side).  Export real
+    params only when our model's block count matches (n_modalities==4);
+    otherwise emit reference-shaped placeholders so strict
+    load_state_dict succeeds."""
+    if n_modalities == 4:
+        return _xfusion_entries("radio_xfusion", ["radio_xfusion"], 4)
+    return [("fill_xfusion", "radio_xfusion",
+             (1024, 64, 1024, 1024, 4, True, False))]
+
+
 def _highway_entries(tp: str, fp: List[str], n_layers: int) -> List[Entry]:
     """Highway (ref model_modules.py:5-26)."""
     es: List[Entry] = [("bn", f"{tp}.bn1", fp + ["bn1"]),
@@ -146,8 +162,7 @@ def build_spec(model_type: str, *, pretrained: bool = False,
                            ("linear", "classifier", ["classifier"])]
         if model_type == "radio_attention_mil":
             if radio_fusion == "tensor":
-                es += _xfusion_entries("radio_xfusion", ["radio_xfusion"],
-                                       n_modalities)
+                es += _radio_xfusion_entries(n_modalities)
             else:
                 es.append(("linear", "reduce_dim", ["reduce_dim"]))
         return es
@@ -183,17 +198,18 @@ def _mm_attention_mil_spec(mode, fusion, radio_fusion, gate, gate_path,
         es.append(("fill_attn", "attention_net_radio.3", (256, 256),
                    gate_radio, attn_dropout))
     # the reference builds the radio_fusion module from radio_fusion
-    # ALONE, regardless of mode/modality count (ref :56-61): radio in
-    # mode with >1 modality maps to real params, everything else fills
+    # ALONE, regardless of mode/modality count (ref :56-61), and always
+    # with the default num_modalities=4 (see _radio_xfusion_entries):
+    # radio in mode with exactly 4 modalities maps to real params,
+    # everything else fills with the reference's 4-block shapes
     if radio_fusion == "tensor":
         if have_radio and n_modalities > 1:
-            es += _xfusion_entries("radio_xfusion", ["radio_xfusion"],
-                                   n_modalities)
+            es += _radio_xfusion_entries(n_modalities)
         else:
             # XlinearFusion(dim=1024, scale_dim=64, mmhid1/2=1024,
-            # skip=0, gate default) (ref :57)
+            # skip=0, gate default, num_modalities default 4) (ref :57)
             es.append(("fill_xfusion", "radio_xfusion",
-                       (1024, 64, 1024, 1024, n_modalities, True, False)))
+                       (1024, 64, 1024, 1024, 4, True, False)))
     else:
         if have_radio and n_modalities > 1:
             es.append(("linear", "reduce_dim", ["reduce_dim"]))

@@ -1,5 +1,6 @@
 """Integrated gradients, GradCAM++, heatmaps, and survival analysis."""
 import numpy as np
+import pandas as pd
 import pytest
 
 import jax
@@ -81,6 +82,18 @@ def test_to_percentiles():
     p = heatmaps.to_percentiles(s)
     assert list(np.argsort(p)) == list(np.argsort(s))
     assert p.max() == 100.0
+
+
+def test_score_to_percentile_matches_scipy():
+    """Vectorized score2percentile (ref heatmap_utils.py:32-34) pins to
+    scipy.stats.percentileofscore(kind='rank'), ties and all."""
+    from scipy.stats import percentileofscore
+    rng = np.random.default_rng(0)
+    ref = np.round(rng.normal(size=50), 1)  # rounding forces ties
+    qs = np.concatenate([ref[:10], rng.normal(size=10)])
+    got = heatmaps.score_to_percentile(qs, ref)
+    want = np.array([percentileofscore(ref, q, kind="rank") for q in qs])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
 
 
 def test_draw_heatmap_and_sampling():
@@ -234,6 +247,108 @@ def test_logrank_separated_groups():
     assert p < 1e-6 and chi2 > 20
 
 
+def test_logrank_vectorized_matches_loop_oracle():
+    """The vectorized Mantel-Haenszel matches a per-time loop."""
+    from scipy.stats import chi2 as chi2_dist
+    rng = np.random.default_rng(5)
+    t_a = np.round(rng.uniform(1, 30, 50), 0)  # integer ties
+    t_b = np.round(rng.uniform(5, 40, 45), 0)
+    e_a = rng.uniform(size=50) > 0.3
+    e_b = rng.uniform(size=45) > 0.3
+
+    O_minus_E = V = 0.0
+    for t in np.unique(np.concatenate([t_a[e_a], t_b[e_b]])):
+        n_a, n_b = np.sum(t_a >= t), np.sum(t_b >= t)
+        d_a, d_b = np.sum((t_a == t) & e_a), np.sum((t_b == t) & e_b)
+        n, d = n_a + n_b, d_a + d_b
+        if n <= 1:
+            continue
+        O_minus_E += d_a - d * n_a / n
+        V += d * (n_a / n) * (n_b / n) * (n - d) / (n - 1)
+    want_chi2 = O_minus_E ** 2 / V
+    chi2, p = analysis.logrank_test(e_a, t_a, e_b, t_b)
+    assert chi2 == pytest.approx(want_chi2, rel=1e-12)
+    assert p == pytest.approx(float(chi2_dist.sf(want_chi2, 1)), rel=1e-12)
+
+
+def test_stratify_risk_quartiles():
+    """hazard2grade semantics (ref evaluation.py:80-84): grade = index
+    of first cutpoint above the risk."""
+    risk = np.arange(8, dtype=float)  # 0..7
+    strat = analysis.stratify_risk(risk, [25, 50, 75])
+    # percentiles of 0..7 at [25,50,75] = [1.75, 3.5, 5.25]
+    np.testing.assert_array_equal(strat, [0, 0, 1, 1, 2, 2, 3, 3])
+    # cutpoint tie: value equal to a cut goes to the upper stratum
+    assert analysis.hazard2grade(np.array([1.75]), [1.75, 3.5])[0] == 1
+
+
+def test_km_by_risk_group_percentiles(tmp_path):
+    rng = np.random.default_rng(4)
+    n = 120
+    risk = rng.normal(size=n)
+    t = np.exp(2.5 - risk + 0.2 * rng.normal(size=n))
+    results = {"subject_id": np.array([f"S{i}" for i in range(n)]),
+               "risk": risk, "survival": t,
+               "censorship": (rng.uniform(size=n) < 0.2).astype(float)}
+    groups = analysis.km_by_risk_group(results, percentiles=[25, 50, 75])
+    assert len(groups["strata"]) == 4
+    assert groups["n_low"] + groups["n_high"] == pytest.approx(n / 2, abs=2)
+    assert groups["logrank_p"] < 0.05
+    out = analysis.plot_km(groups, str(tmp_path / "km4.png"))
+    import os
+    assert os.path.getsize(out) > 1000
+
+
+def test_hazard_histogram(tmp_path):
+    rng = np.random.default_rng(6)
+    n = 100
+    risk = rng.normal(size=n)
+    df = pd.DataFrame({
+        "subject_id": [f"S{i}" for i in range(n)],
+        "risk": risk,
+        "survival": np.exp(3.2 - risk + 0.3 * rng.normal(size=n)),
+        "censorship": (rng.uniform(size=n) < 0.2).astype(float)})
+    out = str(tmp_path / "h.png")
+    res = analysis.hazard_histogram(df, out)
+    import os
+    assert os.path.getsize(out) > 1000
+    # censored patients appear in neither group
+    assert res["n_low"] + res["n_high"] == int((df.censorship == 0).sum())
+    # short survivors carry higher z-scored risk on average
+    assert res["low"][1].size and res["high"][1].size
+
+
+def test_pool_folds_by_subject():
+    d0 = pd.DataFrame({"subject_id": ["A", "B"], "risk": [1.0, 2.0],
+                       "survival": [10.0, 20.0], "censorship": [0., 1.]})
+    d1 = pd.DataFrame({"subject_id": ["A", "C"], "risk": [3.0, 5.0],
+                       "survival": [10.0, 30.0], "censorship": [0., 0.]})
+    pooled = analysis.pool_folds_by_subject([d0, d1], "mean")
+    pooled = pooled.set_index("subject_id")
+    assert pooled.loc["A", "risk"] == pytest.approx(2.0)  # (1+3)/2
+    assert pooled.loc["C", "risk"] == pytest.approx(5.0)
+    assert len(pooled) == 3
+    pmax = analysis.pool_folds_by_subject([d0, d1], "max")
+    assert pmax.set_index("subject_id").loc["A", "risk"] == 3.0
+
+
+def test_survival_auc_wrapper():
+    """ref survival_AUC (evaluation.py:559-580): iauc + IPCW c at
+    tau=times[-1] + Harrell c with tied_tol 1e-5."""
+    rng = np.random.default_rng(8)
+    n = 80
+    risk = rng.normal(size=n)
+    t = np.round(np.exp(2.5 - risk + 0.3 * rng.normal(size=n)), 0) + 1
+    e = rng.uniform(size=n) > 0.3
+    iauc, ipcw_c, harrell = analysis.survival_auc(e, t, e, t, risk)
+    assert 0.6 < iauc <= 1.0
+    assert 0.6 < ipcw_c <= 1.0
+    assert harrell == pytest.approx(
+        __import__("multimodalfusion_tpu.metrics",
+                   fromlist=["m"]).concordance_index_censored(
+            e, t, risk, tied_tol=1e-5)[0])
+
+
 def test_bootstrap_ci_contains_point():
     rng = np.random.default_rng(1)
     n = 60
@@ -308,15 +423,31 @@ def test_summarize_cli(tmp_path):
            "survival": np.exp(2.5 - risk + 0.2 * rng.normal(size=n)),
            "censorship": np.zeros(n), "disc_label": np.zeros(n)}
     save_pkl(str(d / "split_train_val_0_results.pkl"), res)
+    # cohort CSV for the survival_AUC columns (use the cohort itself)
+    cohort_csv = tmp_path / "cohort.csv"
+    pd.DataFrame({"subject_id": res["subject_id"],
+                  "survival_months": res["survival"],
+                  "censorship": res["censorship"]}).to_csv(cohort_csv)
     rc = sm(["--results_root", str(tmp_path / "res"),
              "--save_dir", str(tmp_path / "rep"), "--km",
-             "--bootstrap", "50"])
+             "--bootstrap", "50", "--percentiles", "25,50,75",
+             "--hazard_hist", "--cohort_csv", str(cohort_csv)])
     assert rc == 0
     cv = pd.read_csv(tmp_path / "rep" / "cv_summary.csv")
     assert cv.iloc[0]["val_cindex_mean"] == pytest.approx(0.71)
     rg = pd.read_csv(tmp_path / "rep" / "risk_group_stats.csv")
     assert rg.iloc[0]["logrank_p"] < 0.05
-    assert (tmp_path / "rep").glob("*_km.png")
+    assert rg.iloc[0]["pooled_cindex"] > 0.6
+    assert 0.5 < rg.iloc[0]["iauc"] <= 1.0
+    assert 0.5 < rg.iloc[0]["ipcw_cindex"] <= 1.0
+    assert list((tmp_path / "rep").glob("*_km.png"))
+    assert list((tmp_path / "rep").glob("*_hist.png"))
+    # threshold gating: an absurdly small threshold suppresses KM plots
+    rc = sm(["--results_root", str(tmp_path / "res"),
+             "--save_dir", str(tmp_path / "rep2"), "--km",
+             "--km_thresh", "1e-300"])
+    assert rc == 0
+    assert not list((tmp_path / "rep2").glob("*_km.png"))
 
 
 def test_all_clis_expose_help():

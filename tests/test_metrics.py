@@ -105,3 +105,145 @@ def test_survival_probs_at_bin_edges():
     # before first interior edge -> survival 1
     out = metrics.survival_probs_at_times(S, edges, np.array([5.0]))
     np.testing.assert_allclose(out, [[1.0]])
+
+
+# ---------------------------------------------------------------------------
+# IPCW c-index + time-dependent AUC (ref utils_analysis/evaluation.py:559-580
+# uses sksurv's concordance_index_ipcw / cumulative_dynamic_auc; sksurv is
+# not in this image, so the oracles are straightforward per-pair loop
+# implementations of the same formulas)
+# ---------------------------------------------------------------------------
+
+def _ipcw_oracle(tr_e, tr_t, te_e, te_t):
+    g_t, g_v = metrics.censoring_survival(tr_e, tr_t)
+    w = np.zeros(len(te_t))
+    for i in range(len(te_t)):
+        if te_e[i]:
+            idx = np.searchsorted(g_t, te_t[i], side="right") - 1
+            G = g_v[idx] if idx >= 0 else 1.0
+            w[i] = 1.0 / G
+    return w
+
+
+def _cindex_ipcw_oracle(tr_e, tr_t, te_e, te_t, est, tau=None,
+                        tied_tol=1e-8):
+    w = _ipcw_oracle(tr_e, tr_t, te_e, te_t) ** 2
+    if tau is not None:
+        w = np.where(te_t < tau, w, 0.0)
+    num = den = 0.0
+    for i in range(len(te_t)):
+        if not te_e[i]:
+            continue
+        for j in range(len(te_t)):
+            if i == j:
+                continue
+            comparable = te_t[j] > te_t[i] or (te_t[j] == te_t[i]
+                                               and not te_e[j])
+            if not comparable:
+                continue
+            den += w[i]
+            if abs(est[i] - est[j]) <= tied_tol:
+                num += 0.5 * w[i]
+            elif est[i] > est[j]:
+                num += w[i]
+    return num / den
+
+
+def _auc_oracle(tr_e, tr_t, te_e, te_t, est, t):
+    """Weighted Mann-Whitney form of the cumulative/dynamic AUC at t."""
+    w = _ipcw_oracle(tr_e, tr_t, te_e, te_t)
+    num = den = 0.0
+    for i in range(len(te_t)):
+        if not (te_e[i] and te_t[i] <= t):
+            continue
+        for j in range(len(te_t)):
+            if te_t[j] <= t:
+                continue
+            den += w[i]
+            if est[i] > est[j]:
+                num += w[i]
+            elif est[i] == est[j]:
+                num += 0.5 * w[i]
+    return num / den
+
+
+@pytest.fixture
+def surv_data():
+    rng = np.random.default_rng(7)
+    n_tr, n_te = 60, 40
+    tr_risk = rng.normal(size=n_tr)
+    tr_t = np.round(np.exp(2.0 - tr_risk + 0.4 * rng.normal(size=n_tr)), 1)
+    tr_e = rng.uniform(size=n_tr) > 0.3
+    te_risk = np.round(rng.normal(size=n_te), 1)  # ties in estimates
+    te_t = np.round(np.exp(2.0 - te_risk + 0.4 * rng.normal(size=n_te)), 1)
+    te_e = rng.uniform(size=n_te) > 0.3
+    # keep the test cohort inside the train follow-up so G > 0
+    te_t = np.minimum(te_t, tr_t.max() - 0.1)
+    return tr_e, tr_t, te_e, te_t, te_risk
+
+
+def test_cindex_ipcw_matches_pair_loop(surv_data):
+    tr_e, tr_t, te_e, te_t, risk = surv_data
+    got = metrics.concordance_index_ipcw(tr_e, tr_t, te_e, te_t, risk)[0]
+    want = _cindex_ipcw_oracle(tr_e, tr_t, te_e, te_t, risk)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_cindex_ipcw_tau_truncation(surv_data):
+    tr_e, tr_t, te_e, te_t, risk = surv_data
+    tau = float(np.median(te_t))
+    got = metrics.concordance_index_ipcw(tr_e, tr_t, te_e, te_t, risk,
+                                         tau=tau)[0]
+    want = _cindex_ipcw_oracle(tr_e, tr_t, te_e, te_t, risk, tau=tau)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_cindex_ipcw_no_censoring_equals_harrell():
+    """With no censoring anywhere, G == 1 so all weights are equal and
+    Uno's c reduces to Harrell's."""
+    rng = np.random.default_rng(3)
+    n = 50
+    risk = rng.normal(size=n)
+    t = np.round(np.exp(1.5 - risk + 0.3 * rng.normal(size=n)), 1)
+    e = np.ones(n, bool)
+    uno = metrics.concordance_index_ipcw(e, t, e, t, risk)[0]
+    harrell = metrics.concordance_index_censored(e, t, risk)[0]
+    np.testing.assert_allclose(uno, harrell, rtol=1e-12)
+
+
+def test_cumulative_dynamic_auc_matches_wmw_loop(surv_data):
+    tr_e, tr_t, te_e, te_t, risk = surv_data
+    times = np.percentile(te_t, [20, 40, 60, 80])
+    aucs, mean_auc = metrics.cumulative_dynamic_auc(
+        tr_e, tr_t, te_e, te_t, risk, times)
+    for k, t in enumerate(times):
+        want = _auc_oracle(tr_e, tr_t, te_e, te_t, risk, t)
+        np.testing.assert_allclose(aucs[k], want, rtol=1e-12,
+                                   err_msg=f"AUC at t={t}")
+    # the summary integrates AUC(t) against the test KM: recompute
+    s_t, s_v = metrics.kaplan_meier(te_e, te_t)
+    idx = np.searchsorted(s_t, times, side="right") - 1
+    S = np.where(idx >= 0, s_v[np.clip(idx, 0, len(s_v) - 1)], 1.0)
+    d = -np.diff(np.concatenate([[1.0], S]))
+    want_mean = np.sum(aucs * d) / (1.0 - S[-1])
+    np.testing.assert_allclose(mean_auc, want_mean, rtol=1e-12)
+
+
+def test_cumulative_dynamic_auc_perfect_ranking():
+    e = np.ones(6, bool)
+    t = np.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0])
+    risk = -t  # higher risk = earlier event, perfectly
+    aucs, mean_auc = metrics.cumulative_dynamic_auc(
+        e, t, e, t, risk, np.array([2.5, 4.5]))
+    np.testing.assert_allclose(aucs, 1.0)
+    np.testing.assert_allclose(mean_auc, 1.0)
+
+
+def test_cumulative_dynamic_auc_tied_estimates_half_credit():
+    """All-equal estimates: every case/control pair gets 0.5."""
+    e = np.ones(8, bool)
+    t = np.linspace(1, 8, 8)
+    risk = np.zeros(8)
+    aucs, _ = metrics.cumulative_dynamic_auc(e, t, e, t, risk,
+                                             np.array([4.5]))
+    np.testing.assert_allclose(aucs, 0.5)

@@ -479,7 +479,7 @@ def test_mm_tensor_radio_fusion_fill_strict(rng):
     so the export must fill its full XlinearFusion key set."""
 
     class TorchMMPathOmicTensorRadio(tnn.Module):
-        def __init__(self, input_dim=36, n_modalities=2, n_classes=4):
+        def __init__(self, input_dim=36, n_classes=4):
             super().__init__()
             self.fc_omic = tnn.Sequential(
                 tnn.Sequential(tnn.Linear(input_dim, 256), tnn.SELU(),
@@ -489,9 +489,11 @@ def test_mm_tensor_radio_fusion_fill_strict(rng):
             self.attention_net_radio = tnn.Sequential(
                 tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
                 TorchGatedAttn())
+            # the reference builds this with the DEFAULT num_modalities=4
+            # (model_mm_attention_mil.py:57)
             self.radio_xfusion = TorchXlinearFusion(
                 dim=1024, scale_dim=64, mmhid1=1024, mmhid2=1024,
-                num_modalities=n_modalities, skip=0)
+                num_modalities=4, skip=0)
             self.attention_net_WSI = tnn.Sequential(
                 tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
                 TorchGatedAttn())
@@ -514,6 +516,52 @@ def test_mm_tensor_radio_fusion_fill_strict(rng):
                          n_modalities=2, omic_input_dim=36)
     sd = ti.variables_to_torch(spec, variables)
     tm = TorchMMPathOmicTensorRadio(input_dim=36)
+    tm.load_state_dict(sd, strict=True)
+
+
+def test_mm_tensor_radio_active_nonquad_fills_ref_shape(rng):
+    """radio active with radio_fusion='tensor' but n_modalities != 4:
+    our flax model builds a 2-block xfusion, while the reference's is
+    ALWAYS 4-block (default num_modalities, model_mm_attention_mil.py:57)
+    — the export must emit the reference's 4-block placeholder shapes,
+    not our 2-block real params."""
+
+    class TorchRadioOmicTensorRadio(tnn.Module):
+        def __init__(self, input_dim=36, n_classes=4):
+            super().__init__()
+            self.fc_omic = tnn.Sequential(
+                tnn.Sequential(tnn.Linear(input_dim, 256), tnn.SELU(),
+                               tnn.AlphaDropout(0.25)),
+                tnn.Sequential(tnn.Linear(256, 256), tnn.SELU(),
+                               tnn.AlphaDropout(0.25)))
+            self.attention_net_radio = tnn.Sequential(
+                tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                TorchGatedAttn())
+            self.radio_xfusion = TorchXlinearFusion(
+                dim=1024, scale_dim=64, mmhid1=1024, mmhid2=1024,
+                num_modalities=4, skip=0)
+            self.attention_net_WSI = tnn.Sequential(
+                tnn.Linear(1024, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                TorchGatedAttn())
+            self.mm = TorchXlinearFusion(dim=256, scale_dim=16,
+                                         mmhid1=512, mmhid2=512,
+                                         num_modalities=2, skip=1)
+            self.classifier = tnn.Sequential(
+                tnn.Linear(512, 256), tnn.ReLU(), tnn.Dropout(0.25),
+                tnn.Linear(256, n_classes))
+
+    model = MMAttentionMIL(mode="radioomic", n_modalities=2,
+                           omic_input_dim=36, fusion="tensor",
+                           radio_fusion="tensor")
+    inputs = dict(radio_bags=jnp.zeros((1, 4, 2048)),
+                  radio_mask=jnp.ones((1, 4)),
+                  genomic=jnp.zeros((1, 36)))
+    variables = model.init(KEY, **inputs)
+    spec = ti.build_spec("mm_attention_mil", mode="radioomic",
+                         fusion="tensor", radio_fusion="tensor",
+                         n_modalities=2, omic_input_dim=36)
+    sd = ti.variables_to_torch(spec, variables)
+    tm = TorchRadioOmicTensorRadio(input_dim=36)
     tm.load_state_dict(sd, strict=True)
 
 
