@@ -13,21 +13,33 @@ import numpy as np
 
 def gradcam_pp(activations: jax.Array, grads: jax.Array) -> jax.Array:
     """GradCAM++ from layer activations [B, h, w, C] and gradients of the
-    target wrt those activations.  Returns CAMs [B, h, w] in [0, 1]."""
+    target wrt those activations.  Returns CAMs [B, h, w] in [0, 1].
+
+    Matches the pytorch-grad-cam ``GradCAMPlusPlus`` the reference runs
+    (gradcam.py:101-105): alpha_ij = g_ij^2 / (2 g_ij^2 +
+    (sum_ab A_ab) g_ij^3 + eps), zeroed where g_ij == 0; channel weight
+    = sum_ij alpha_ij relu(g_ij); CAM min-max scaled per image."""
     g2 = grads ** 2
     g3 = g2 * grads
-    denom = 2.0 * g2 + jnp.sum(activations * g3, axis=(1, 2), keepdims=True)
-    alpha = jnp.where(jnp.abs(denom) > 1e-12, g2 / denom, 0.0)
+    sum_act = jnp.sum(activations, axis=(1, 2), keepdims=True)  # [B,1,1,C]
+    denom = 2.0 * g2 + sum_act * g3 + 1e-6
+    alpha = jnp.where(grads != 0.0, g2 / denom, 0.0)
     weights = jnp.sum(alpha * jax.nn.relu(grads), axis=(1, 2))  # [B, C]
     cam = jax.nn.relu(jnp.einsum("bc,bhwc->bhw", weights, activations))
-    peak = jnp.max(cam, axis=(1, 2), keepdims=True)
-    return cam / jnp.maximum(peak, 1e-12)
+    lo = jnp.min(cam, axis=(1, 2), keepdims=True)
+    hi = jnp.max(cam, axis=(1, 2), keepdims=True)
+    return (cam - lo) / (1e-7 + hi - lo)
 
 
 def gradcam_for(spatial_fn: Callable, head_fn: Callable,
-                images: jax.Array) -> np.ndarray:
+                images: jax.Array, aug_smooth: bool = False) -> np.ndarray:
     """End-to-end CAM: images -> trunk activations (spatial_fn) -> scalar
-    target (head_fn, e.g. attention-weighted risk).  One jit program."""
+    target (head_fn, e.g. attention-weighted risk).  One jit program.
+
+    ``aug_smooth`` replicates pytorch-grad-cam's test-time augmentation
+    (ref gradcam.py:105 runs with aug_smooth=True): the CAM is averaged
+    over horizontal flip x brightness multiply {0.9, 1, 1.1}, each CAM
+    min-max scaled before averaging, flips deaugmented."""
 
     @jax.jit
     def _run(images):
@@ -35,7 +47,17 @@ def gradcam_for(spatial_fn: Callable, head_fn: Callable,
         grads = jax.grad(lambda a: jnp.sum(head_fn(a)))(act)
         return gradcam_pp(act, grads)
 
-    return np.asarray(_run(images))
+    if not aug_smooth:
+        return np.asarray(_run(images))
+    cams = []
+    for flip in (False, True):
+        x = jnp.flip(images, axis=2) if flip else images
+        for factor in (0.9, 1.0, 1.1):
+            cam = _run(x * factor)
+            if flip:
+                cam = jnp.flip(cam, axis=2)
+            cams.append(cam)
+    return np.asarray(jnp.mean(jnp.stack(cams), axis=0))
 
 
 def upsample_cams(cams: np.ndarray, size) -> np.ndarray:

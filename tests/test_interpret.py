@@ -77,6 +77,52 @@ def test_cam_overlay_shapes():
     assert out.shape == (32, 32, 3) and out.dtype == np.uint8
 
 
+def test_ig_gausslegendre_matches_dense_riemann():
+    """The default Gauss-Legendre rule (captum's default, what the
+    reference runs) integrates a smooth nonlinear f to the same IG as a
+    very fine midpoint Riemann sum."""
+    w = jnp.array([0.7, -1.3, 0.4])
+
+    def f(x):
+        return jnp.sum(jnp.tanh(x @ w) ** 2 + 0.3 * jnp.sin(x @ w))
+
+    x = jnp.array([[1.2, -0.5, 2.0]])
+    (gl,) = integrated_gradients(f, (x,), n_steps=20,
+                                 method="gausslegendre")
+    (dense,) = integrated_gradients(f, (x,), n_steps=4000,
+                                    method="riemann_middle")
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(dense),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_gradcam_pp_matches_pytorch_grad_cam_formula():
+    """gradcam_pp pins to the pytorch-grad-cam GradCAMPlusPlus math the
+    reference invokes (gradcam.py:101-105): alpha = g^2 / (2 g^2 +
+    sum(A) g^3 + 1e-6) zeroed at g==0, weights = sum(alpha relu(g)),
+    min-max scaled CAM."""
+    rng = np.random.default_rng(1)
+    act = rng.normal(size=(2, 5, 5, 7)).astype(np.float32)
+    grads = rng.normal(size=(2, 5, 5, 7)).astype(np.float32)
+    grads[0, 0, 0, 0] = 0.0  # exercise the g==0 zeroing
+
+    # reference formula in NCHW, as the library computes it
+    a_nchw = np.transpose(act, (0, 3, 1, 2))
+    g_nchw = np.transpose(grads, (0, 3, 1, 2))
+    g2, g3 = g_nchw ** 2, g_nchw ** 3
+    sum_act = a_nchw.sum(axis=(2, 3))[:, :, None, None]
+    aij = g2 / (2 * g2 + sum_act * g3 + 1e-6)
+    aij = np.where(g_nchw != 0, aij, 0)
+    wts = (np.maximum(g_nchw, 0) * aij).sum(axis=(2, 3))
+    cam = np.maximum((wts[:, :, None, None] * a_nchw).sum(axis=1), 0)
+    lo = cam.min(axis=(1, 2), keepdims=True)
+    hi = cam.max(axis=(1, 2), keepdims=True)
+    want = (cam - lo) / (1e-7 + hi - lo)
+
+    got = np.asarray(gradcam.gradcam_pp(jnp.asarray(act),
+                                        jnp.asarray(grads)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_to_percentiles():
     s = np.array([1.0, 5.0, 3.0])
     p = heatmaps.to_percentiles(s)
