@@ -61,11 +61,9 @@ def _batch_from_samples(samples: List[Sample], mode: str, pretrained: bool,
                 v = getattr(s, attr)
                 if v is not None:
                     arr[i] = v
-            # partial batches: replicate valid rows into the padding so
-            # BatchNorm batch statistics (pretrained heads use BN) are not
-            # dragged toward zero; losses/metrics still mask via `valid`
-            for i in range(n, B):
-                arr[i] = arr[i % max(n, 1)]
+            # partial batches stay zero-padded: MaskedBatchNorm computes
+            # batch statistics over `valid` rows only, matching the
+            # reference's genuinely smaller ragged final torch batch
             batch[key] = arr
         return batch
 

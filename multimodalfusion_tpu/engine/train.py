@@ -133,8 +133,11 @@ def build_model(cfg: TrainConfig):
 def model_inputs(cfg: TrainConfig, batch: Dict[str, np.ndarray]) -> dict:
     """Map a loader batch onto the model's call signature."""
     if cfg.pretrained:
+        # `valid` masks padded rows out of BatchNorm batch statistics
+        # (MaskedBatchNorm) — the reference's final ragged batch computes
+        # stats over real rows only
         return dict(h_radio=batch["h_radio"], h_path=batch["h_path"],
-                    h_omic=batch["h_omic"])
+                    h_omic=batch["h_omic"], valid=batch["valid"])
     if cfg.model_type == "max_net":
         return dict(genomic_features=batch["genomic"])
     if cfg.model_type == "path_attention_mil":

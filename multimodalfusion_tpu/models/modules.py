@@ -69,8 +69,49 @@ class SNNBlock(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# Highway / Residual (ref model_modules.py:5-59).
+# Mask-aware BatchNorm + Highway / Residual (ref model_modules.py:5-59).
 # ---------------------------------------------------------------------------
+
+class MaskedBatchNorm(nn.Module):
+    """torch.nn.BatchNorm1d semantics with a row-validity mask.
+
+    Static-shape batches pad partial batches with invalid rows; plain
+    BatchNorm would fold the padding into the batch statistics, so in
+    training mode statistics are computed over VALID rows only — exactly
+    the statistics torch computes on the reference's genuinely smaller
+    ragged final batch (ref nll_models_pretrained.py:23,82-103 BN
+    layers).  Normalization uses the biased variance, running_var the
+    unbiased one, momentum 0.9 == torch's default 0.1.  Variable names
+    match flax nn.BatchNorm (params scale/bias, batch_stats mean/var)
+    so checkpoint interop is unchanged."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, valid=None, use_running_average: bool = True):
+        features = x.shape[-1]
+        scale = self.param("scale", jax.nn.initializers.ones, (features,))
+        bias = self.param("bias", jax.nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            v = (jnp.ones(x.shape[0], x.dtype) if valid is None
+                 else valid.astype(x.dtype))
+            n = jnp.maximum(jnp.sum(v), 1.0)
+            mean = jnp.sum(x * v[:, None], axis=0) / n
+            var = jnp.sum(v[:, None] * (x - mean) ** 2, axis=0) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * unbiased
+        y = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return y * scale + bias
+
 
 class Highway(nn.Module):
     """BN -> Dropout(0.7) -> N gated highway layers -> BN
@@ -80,17 +121,15 @@ class Highway(nn.Module):
     f: Callable = jax.nn.relu
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                         name="bn1")(x)
+    def __call__(self, x, deterministic: bool = True, valid=None):
+        x = MaskedBatchNorm(name="bn1")(x, valid, deterministic)
         x = nn.Dropout(0.7, deterministic=deterministic)(x)
         for i in range(self.num_layers):
             gate = jax.nn.sigmoid(Dense(self.size, name=f"gate_{i}")(x))
             nonlinear = self.f(Dense(self.size, name=f"nonlinear_{i}")(x))
             linear = Dense(self.size, name=f"linear_{i}")(x)
             x = gate * nonlinear + (1.0 - gate) * linear
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
-                         name="bn2")(x)
+        x = MaskedBatchNorm(name="bn2")(x, valid, deterministic)
         return x
 
 
@@ -99,13 +138,14 @@ class ResidualBlock(nn.Module):
     size: int
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, valid=None):
         residual = x
         out = Dense(self.size)(x)
-        out = nn.BatchNorm(use_running_average=deterministic, momentum=0.9)(out)
+        # explicit names keep the pre-MaskedBatchNorm checkpoint layout
+        out = MaskedBatchNorm(name="BatchNorm_0")(out, valid, deterministic)
         out = jax.nn.relu(out)
         out = Dense(self.size)(out)
-        out = nn.BatchNorm(use_running_average=deterministic, momentum=0.9)(out)
+        out = MaskedBatchNorm(name="BatchNorm_1")(out, valid, deterministic)
         return jax.nn.relu(out + residual)
 
 
@@ -114,9 +154,9 @@ class Residual(nn.Module):
     n_layers: int
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, valid=None):
         for i in range(self.n_layers):
-            x = ResidualBlock(self.size)(x, deterministic)
+            x = ResidualBlock(self.size)(x, deterministic, valid)
         return x
 
 

@@ -14,8 +14,8 @@ from flax import linen as nn
 
 from multimodalfusion_tpu.models.heads import scalar_risk_outputs, \
     survival_outputs
-from multimodalfusion_tpu.models.modules import Dense, Highway, Residual, \
-    XlinearFusion
+from multimodalfusion_tpu.models.modules import Dense, Highway, \
+    MaskedBatchNorm, Residual, XlinearFusion
 
 
 def _is_nll(bag_loss: str) -> bool:
@@ -38,7 +38,7 @@ class UnimodalPretrained(nn.Module):
 
     @nn.compact
     def __call__(self, h_radio=None, h_path=None, h_omic=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, valid=None):
         if self.mode == "path":
             h = h_path
         elif self.mode == "radio":
@@ -57,16 +57,19 @@ class UnimodalPretrained(nn.Module):
                 return survival_outputs(logits)
             # ref coxranking: 256->128 BN ReLU Drop -> 1 (:24)
             z = Dense(128, name="classifier_0")(h)
-            z = nn.BatchNorm(use_running_average=deterministic,
-                             momentum=0.9, name="classifier_bn")(z)
+            z = MaskedBatchNorm(name="classifier_bn")(z, valid,
+                                                      deterministic)
             z = jax.nn.relu(z)
             z = nn.Dropout(0.7, deterministic=deterministic)(z)
             risk = Dense(1, name="classifier_1")(z)
             return scalar_risk_outputs(risk)
         elif self.train_type == "highway":
-            h = Highway(256, self.n_layers, name="highway")(h, deterministic)
+            h = Highway(256, self.n_layers, name="highway")(h, deterministic,
+                                                            valid)
         elif self.train_type == "residual":
-            h = Residual(256, self.n_layers, name="residual")(h, deterministic)
+            h = Residual(256, self.n_layers, name="residual")(h,
+                                                              deterministic,
+                                                              valid)
         else:
             raise ValueError(self.train_type)
 
@@ -92,7 +95,7 @@ class MultimodalPretrained(nn.Module):
 
     @nn.compact
     def __call__(self, h_radio=None, h_path=None, h_omic=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, valid=None):
         nll = _is_nll(self.bag_loss)
         present = self._present()
         embeds = {"radio": h_radio, "path": h_path, "omic": h_omic}
@@ -101,8 +104,8 @@ class MultimodalPretrained(nn.Module):
 
         def _late_layer(name, h):
             z = Dense(128, name=f"layer_{name}_0")(h)
-            z = nn.BatchNorm(use_running_average=deterministic,
-                             momentum=0.9, name=f"layer_{name}_bn")(z)
+            z = MaskedBatchNorm(name=f"layer_{name}_bn")(z, valid,
+                                                         deterministic)
             z = jax.nn.relu(z)
             z = nn.Dropout(0.7, deterministic=deterministic)(z)
             if not nll:
@@ -118,15 +121,15 @@ class MultimodalPretrained(nn.Module):
             logits = Dense(width, name="classifier")(MM)
         elif tt == "late-highway":
             parts = [Highway(256, self.n_layers, name=f"highway_{m}")(
-                embeds[m], deterministic) for m in present]
+                embeds[m], deterministic, valid) for m in present]
             MM = jnp.concatenate(parts, axis=1)
             logits = Dense(self.n_classes if nll else 1,
                            name="classifier")(MM)
         elif tt == "early-fcnn":
             MM = jnp.concatenate([embeds[m] for m in present], axis=1)
             z = Dense(128, name="classifier_0")(MM)
-            z = nn.BatchNorm(use_running_average=deterministic,
-                             momentum=0.9, name="classifier_bn")(z)
+            z = MaskedBatchNorm(name="classifier_bn")(z, valid,
+                                                      deterministic)
             z = jax.nn.relu(z)
             z = nn.Dropout(0.7, deterministic=deterministic)(z)
             logits = Dense(self.n_classes if nll else 1,
@@ -134,7 +137,7 @@ class MultimodalPretrained(nn.Module):
         elif tt == "early-highway":
             MM = jnp.concatenate([embeds[m] for m in present], axis=1)
             MM = Highway(n_mod * 256, self.n_layers, name="highway")(
-                MM, deterministic)
+                MM, deterministic, valid)
             logits = Dense(self.n_classes if nll else 1,
                            name="classifier")(MM)
         elif tt == "kronecker":

@@ -292,3 +292,41 @@ def test_make_splits_disjoint_folds(tmp_path):
     make_splits(str(tmp_path / "sp2"), df, k=1, val_frac=0.6, seed=5)
     f = pd.read_csv(tmp_path / "sp2" / "splits_0.csv")
     assert len(set(f.val.dropna())) == 12
+
+
+def test_all_nan_genomic_column_raises(tmp_path):
+    """A scan-path column not excluded via `modalities` (e.g. lung CT
+    without --modality CT) is all-NaN for omics cohorts and would
+    silently mark every subject omic-absent — the split must refuse."""
+    import pandas as pd
+    import pytest as _pytest
+    from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
+    n = 12
+    df = pd.DataFrame({
+        "subject_id": [f"S{i}" for i in range(n)],
+        "slide_id": [f"S{i}.svs" for i in range(n)],
+        "CT": [np.nan] * n,                      # scan-path column
+        "oncotree_code": ["LUAD"] * n,
+        "is_female": np.zeros(n),
+        "age": np.full(n, 60.0),
+        "survival_months": np.linspace(5, 90, n),
+        "censorship": np.zeros(n),
+        "train": np.ones(n, int),
+        "G0_mut": np.linspace(-1, 1, n),
+    })
+    csv = tmp_path / "lung.csv"
+    df.to_csv(csv, index=False)
+    sp = pd.DataFrame({"train": [f"S{i}" for i in range(8)],
+                       "val": [f"S{i}" for i in range(8, 12)] + [None] * 4})
+    sp_csv = tmp_path / "splits_0.csv"
+    sp.to_csv(sp_csv, index=False)
+
+    ds = SurvivalDataset(str(csv), mode="omic", data_dir=str(tmp_path),
+                         n_bins=2, modalities=["T1"])
+    with _pytest.raises(ValueError, match="CT"):
+        ds.load_splits(str(sp_csv))
+    # excluding the column via modalities makes the same cohort load
+    ds2 = SurvivalDataset(str(csv), mode="omic", data_dir=str(tmp_path),
+                          n_bins=2, modalities=["CT"])
+    tr, va = ds2.load_splits(str(sp_csv))
+    assert len(tr) == 8 and len(va) == 4

@@ -182,3 +182,114 @@ def test_pretrained_heads_ce_surv_emit_hazards(rng, train_type):
                                      bag_loss="ce_surv")
     _, out = _init_apply(model, **hs)
     assert out["hazards"] is not None and out["hazards"].shape == (B, 4)
+
+
+# ---------------------------------------------------------------------------
+# mask-aware BatchNorm (partial-batch semantics vs torch ragged batches)
+# ---------------------------------------------------------------------------
+
+def test_masked_bn_matches_torch_ragged_batch():
+    """MaskedBatchNorm over a padded batch with `valid` must equal torch
+    BatchNorm1d over the reference's genuinely smaller final batch:
+    same outputs on valid rows, same input gradients, same running-stat
+    evolution over multiple steps (ref nll_models_pretrained.py:23,
+    82-103 BN layers; VERDICT r2 weak #1)."""
+    import torch
+    from multimodalfusion_tpu.models.modules import MaskedBatchNorm
+
+    rng_np = np.random.default_rng(0)
+    B, n, F = 8, 5, 16
+    tm = torch.nn.BatchNorm1d(F)
+    with torch.no_grad():
+        tm.weight.normal_(1.0, 0.2)
+        tm.bias.normal_(0.0, 0.2)
+    tm.train()
+
+    model = MaskedBatchNorm()
+    x0 = rng_np.normal(size=(B, F)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x0),
+                           jnp.ones(B), False)
+    variables = {
+        "params": {"scale": jnp.asarray(tm.weight.detach().numpy()),
+                   "bias": jnp.asarray(tm.bias.detach().numpy())},
+        "batch_stats": variables["batch_stats"]}
+
+    for step in range(3):
+        x = rng_np.normal(size=(B, F)).astype(np.float32)
+        x[n:] = 999.0  # padding garbage must not leak into stats
+        valid = np.zeros(B, np.float32)
+        valid[:n] = 1.0
+
+        xt = torch.tensor(x[:n], requires_grad=True)
+        yt = tm(xt)
+        yt.sum().backward()
+
+        def fwd(xj):
+            y, upd = model.apply(variables, xj, jnp.asarray(valid), False,
+                                 mutable=["batch_stats"])
+            return jnp.sum(y * jnp.asarray(valid)[:, None]), upd
+        (out, upd), g = jax.value_and_grad(fwd, has_aux=True)(
+            jnp.asarray(x))
+        y, _ = model.apply(variables, jnp.asarray(x), jnp.asarray(valid),
+                           False, mutable=["batch_stats"])
+
+        np.testing.assert_allclose(np.asarray(y)[:n], yt.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g)[:n], xt.grad.numpy(),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"]["mean"]),
+            tm.running_mean.detach().numpy(), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(upd["batch_stats"]["var"]),
+            tm.running_var.detach().numpy(), rtol=1e-5, atol=1e-7)
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+
+
+def test_pretrained_partial_batch_bn_stats_match_torch():
+    """One train step of the early-fcnn multimodal head on a PARTIAL
+    batch (2 valid rows padded to B=4): the BN batch statistics written
+    back to batch_stats must be the statistics torch computes on the
+    2-row ragged batch — not statistics polluted by padding."""
+    import torch
+    from multimodalfusion_tpu.models.pretrained_heads import \
+        MultimodalPretrained
+
+    rng_np = np.random.default_rng(3)
+    B, n = 4, 2
+    h = {m: np.zeros((B, 256), np.float32) for m in
+         ("radio", "path", "omic")}
+    for m in h:
+        h[m][:n] = rng_np.normal(size=(n, 256)).astype(np.float32)
+    valid = np.array([1.0, 1.0, 0.0, 0.0], np.float32)
+
+    model = MultimodalPretrained(mode="radio_path_omic",
+                                 train_type="early-fcnn",
+                                 bag_loss="nll_surv", n_classes=4)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)},
+        h_radio=jnp.asarray(h["radio"]), h_path=jnp.asarray(h["path"]),
+        h_omic=jnp.asarray(h["omic"]), deterministic=True)
+    _, upd = model.apply(
+        dict(variables), h_radio=jnp.asarray(h["radio"]),
+        h_path=jnp.asarray(h["path"]), h_omic=jnp.asarray(h["omic"]),
+        deterministic=False, valid=jnp.asarray(valid),
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"])
+
+    # torch: Linear with OUR ported weights, ragged 2-row batch
+    k = np.asarray(variables["params"]["classifier_0"]["kernel"])
+    b = np.asarray(variables["params"]["classifier_0"]["bias"])
+    z = np.concatenate([h[m][:n] for m in ("radio", "path", "omic")],
+                       axis=1) @ k + b
+    bn = torch.nn.BatchNorm1d(128)
+    bn.train()
+    bn(torch.tensor(z))
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["classifier_bn"]["mean"]),
+        bn.running_mean.detach().numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(upd["batch_stats"]["classifier_bn"]["var"]),
+        bn.running_var.detach().numpy(), rtol=1e-4, atol=1e-6)
