@@ -10,8 +10,10 @@ Backends (openslide is not in this image):
 
 The patch-coordinate generator replaces the reference's
 multiprocessing.Pool starmap over Python checker objects
-(ref WholeSlideImage.py:515-533) with a vectorized candidate grid +
-cv2.pointPolygonTest sweep.
+(ref WholeSlideImage.py:515-533) with scanline row tests
+(``_polygon_row_test``: crossing parity per probe row, exact to cv2
+semantics — oracle/fuzz-tested in tests/test_wsi.py, ~5x the per-point
+loop single-threaded; see PERF.md).
 """
 from __future__ import annotations
 
@@ -234,6 +236,103 @@ def _in_holes(holes, pt, patch_size) -> bool:
                for h in holes)
 
 
+def points_in_contour(contour, pts: np.ndarray) -> np.ndarray:
+    """Vectorized cv2.pointPolygonTest(measureDist=False) over many
+    points: returns int8 [M] of +1 (inside), 0 (on edge), -1 (outside).
+
+    Exact replica of OpenCV's crossing-number walk (geometry.cpp), so
+    boundary/vertex cases agree with the per-point oracle bit-for-bit —
+    tests/test_wsi.py fuzzes this against cv2 directly."""
+    v = np.asarray(contour, np.float64).reshape(-1, 2)
+    x, y = np.asarray(pts, np.float64).T
+    v0 = np.roll(v, 1, axis=0)       # edge (v0 -> v1), closing edge incl.
+    v0x, v0y = v0[:, 0][:, None], v0[:, 1][:, None]
+    v1x, v1y = v[:, 0][:, None], v[:, 1][:, None]
+    px, py = x[None, :], y[None, :]
+
+    # edges skipped by the crossing test: both endpoints on one side of
+    # the horizontal ray, or entirely left of the point
+    skip = (((v0y <= py) & (v1y <= py)) | ((v0y > py) & (v1y > py))
+            | ((v0x < px) & (v1x < px)))
+    # on-edge checks cv2 performs inside the skip branch (horizontal
+    # edges / vertex coincidence)
+    on_h = (py == v1y) & ((px == v1x)
+                          | ((py == v0y)
+                             & (((v0x <= px) & (px <= v1x))
+                                | ((v1x <= px) & (px <= v0x)))))
+    cross = (py - v0y) * (v1x - v0x) - (px - v0x) * (v1y - v0y)
+    dist = np.where(v1y < v0y, -cross, cross)
+    on_edge = ((skip & on_h) | (~skip & (cross == 0.0))).any(axis=0)
+    counter = (~skip & (dist > 0.0)).sum(axis=0)
+    out = np.where(counter % 2 == 1, 1, -1).astype(np.int8)
+    return np.where(on_edge, np.int8(0), out)
+
+
+def _polygon_row_test(contour, y: float, qx: np.ndarray) -> np.ndarray:
+    """cv2.pointPolygonTest semantics for all points (qx[i], y) on one
+    horizontal row in O(E + X log E): crossing parity against the
+    sorted edge-intersection xs, with cv2's on-edge (0) cases
+    (horizontal edges, vertex hits, exact edge crossings).
+
+    Exactness: for integer contours the intersection xs are rationals
+    with denominator <= the contour's y-extent, so distinct values
+    differ by >= 1/extent while float64 rounding is ~1e-10 — the 1e-8
+    equality window separates the two regimes for slides up to ~1e7 px.
+    """
+    v = np.asarray(contour, np.float64).reshape(-1, 2)
+    v0 = np.roll(v, 1, axis=0)
+    v0x, v0y = v0[:, 0], v0[:, 1]
+    v1x, v1y = v[:, 0], v[:, 1]
+    qx = np.asarray(qx, np.float64)
+
+    contrib = ((v0y <= y) & (v1y > y)) | ((v0y > y) & (v1y <= y))
+    xi = np.sort(v0x[contrib] + (y - v0y[contrib])
+                 * (v1x[contrib] - v0x[contrib])
+                 / (v1y[contrib] - v0y[contrib]))
+    right = np.searchsorted(xi, qx + 1e-8)
+    left = np.searchsorted(xi, qx - 1e-8)
+    on_edge = right > left
+    inside = ((len(xi) - right) % 2) == 1
+
+    # cv2's skip-branch on-edge cases: a vertex exactly at (qx, y), or a
+    # horizontal edge at y spanning qx
+    skipped_vert = (v1y == y) & ~contrib
+    if skipped_vert.any():
+        vx = np.sort(v1x[skipped_vert])
+        hit = np.searchsorted(vx, qx + 1e-8) > np.searchsorted(vx,
+                                                               qx - 1e-8)
+        on_edge |= hit
+    horiz = (v0y == y) & (v1y == y)
+    if horiz.any():
+        for a, b in zip(np.minimum(v0x[horiz], v1x[horiz]),
+                        np.maximum(v0x[horiz], v1x[horiz])):
+            on_edge |= (qx >= a) & (qx <= b)
+    return np.where(on_edge, np.int8(0),
+                    np.where(inside, np.int8(1), np.int8(-1)))
+
+
+def _probe_offsets(patch_size: int, mode: str,
+                   center_shift: float = 0.5):
+    """(offsets [P, 2] relative to the patch top-left, require_all) for
+    each contour-check strategy (ref util_classes.py:48-116)."""
+    half = patch_size // 2
+    if mode == "basic":
+        return np.array([[0, 0]]), False
+    if mode == "center":
+        return np.array([[half, half]]), False
+    if mode == "four_pt":
+        s1, s2 = int(half * 0.25), int(half * 0.5)
+        offs = [(-s1, -s1), (s1, s1), (s1, -s1), (-s1, s1),
+                (-s2, -s2), (s2, s2), (s2, -s2), (-s2, s2)]
+        return np.array(offs) + half, False
+    if mode == "four_pt_hard":
+        s = int(half * center_shift)
+        offs = ([(-s, -s), (s, s), (s, -s), (-s, s)] if s > 0
+                else [(0, 0)])
+        return np.array(offs) + half, True
+    raise NotImplementedError(mode)
+
+
 # ---------------------------------------------------------------------------
 # patch coordinate generation (ref process_contour(s) :432-549)
 # ---------------------------------------------------------------------------
@@ -243,7 +342,13 @@ def contour_patch_coords(slide, contour, holes, patch_level: int = 0,
                          contour_fn: str = "four_pt",
                          use_padding: bool = True) -> np.ndarray:
     """Grid candidates over the contour's bounding box filtered by the
-    in-contour check and hole exclusion.  Level-0 coords, [N, 2]."""
+    in-contour check and hole exclusion.  Level-0 coords, [N, 2].
+
+    All probe points of all candidates are tested in one vectorized
+    point-in-polygon sweep (points_in_contour) instead of the
+    reference's per-candidate mp.Pool starmap of pointPolygonTest calls
+    (WholeSlideImage.py:515-533); the per-point path survives as the
+    oracle in tests/test_wsi.py."""
     if contour is not None:
         start_x, start_y, w, h = cv2.boundingRect(contour)
     else:
@@ -263,14 +368,35 @@ def contour_patch_coords(slide, contour, holes, patch_level: int = 0,
         return np.zeros((0, 2), np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     candidates = np.stack([gx.ravel(), gy.ravel()], axis=1)
-    checker = (make_contour_checker(contour, ref_patch[0], contour_fn)
-               if contour is not None else (lambda pt: True))
-    keep = []
-    for pt in candidates:
-        if checker(pt) and not _in_holes(holes, pt, ref_patch[0]):
-            keep.append(pt)
-    return (np.array(keep, np.int64) if keep
-            else np.zeros((0, 2), np.int64))
+
+    # keep[i, j] for candidate (xs[i], ys[j]); each probe row is one
+    # scanline test over all candidate xs at once
+    keep = np.ones((len(xs), len(ys)), bool)
+    if contour is not None:
+        offs, require_all = _probe_offsets(ref_patch[0], contour_fn)
+        comb = np.all if require_all else np.any
+        for j, y0 in enumerate(ys):
+            rows = []
+            for dy in np.unique(offs[:, 1]):
+                dxs = offs[offs[:, 1] == dy, 0]
+                res = [_polygon_row_test(contour, float(y0 + dy),
+                                         xs + dx) >= 0 for dx in dxs]
+                rows.extend(res)
+            keep[:, j] = comb(np.stack(rows), axis=0)
+    half = ref_patch[0] / 2.0
+    for hole in holes or []:
+        for j, y0 in enumerate(ys):
+            if not keep[:, j].any():
+                continue
+            keep[:, j] &= ~(_polygon_row_test(hole, float(y0 + half),
+                                              xs + half) > 0)
+    gi, gj = np.nonzero(keep)
+    if len(gi) == 0:
+        return np.zeros((0, 2), np.int64)
+    coords = np.stack([xs[gi], ys[gj]], axis=1).astype(np.int64)
+    # match the oracle's x-major grid order
+    order = np.lexsort((coords[:, 1], coords[:, 0]))
+    return coords[order]
 
 
 def process_contours(slide, tissue, holes, save_path: Optional[str] = None,

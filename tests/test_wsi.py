@@ -210,3 +210,56 @@ def test_create_patches_preset(tmp_path):
     assert rc == 0
     ag = pd.read_csv(tmp_path / "out_override" / "process_list_autogen.csv")
     assert ag.iloc[0]["a_t"] == 0.5 and ag.iloc[0]["n_patches"] > 0
+
+
+def test_points_in_contour_fuzz_vs_cv2():
+    """Vectorized point-in-polygon must agree with cv2.pointPolygonTest
+    bit-for-bit, including on-edge (0) cases."""
+    import cv2
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        n_v = int(rng.integers(3, 12))
+        verts = rng.integers(0, 200, size=(n_v, 1, 2)).astype(np.int32)
+        pts = rng.integers(-20, 220, size=(400, 2)).astype(np.float64)
+        # force exact boundary hits: vertices + edge midpoints
+        pts = np.concatenate([pts, verts.reshape(-1, 2).astype(float),
+                              (verts.reshape(-1, 2)
+                               + np.roll(verts.reshape(-1, 2), 1, 0))
+                              / 2.0])
+        want = np.array([int(np.sign(cv2.pointPolygonTest(
+            verts, (float(x), float(y)), False))) for x, y in pts],
+            np.int8)
+        got = wsi.points_in_contour(verts, pts)
+        np.testing.assert_array_equal(got, want,
+                                      err_msg=f"trial {trial}")
+
+
+def test_vectorized_coords_match_per_point_oracle(slide):
+    """contour_patch_coords (vectorized sweep) must produce EXACTLY the
+    coords of the per-point oracle path on real segmented contours, for
+    every contour-check mode (VERDICT r2 weak #3 / item 5)."""
+    tissue, holes = wsi.segment_tissue(slide, seg_level=2, **SEG)
+    for mode in ("basic", "center", "four_pt", "four_pt_hard"):
+        got = []
+        want = []
+        for cont, hs in zip(tissue, holes):
+            got.append(wsi.contour_patch_coords(
+                slide, cont, hs, patch_size=128, step_size=128,
+                contour_fn=mode))
+            # per-point oracle: the original checker loop
+            checker = wsi.make_contour_checker(cont, 128, mode)
+            sx, sy, w, h = __import__("cv2").boundingRect(cont)
+            keep = []
+            for x in range(sx, sx + w, 128):
+                for y in range(sy, sy + h, 128):
+                    if checker((x, y)) and not wsi._in_holes(hs, (x, y),
+                                                             128):
+                        keep.append((x, y))
+            want.append(np.array(sorted(keep), np.int64).reshape(-1, 2))
+        got = np.concatenate([g for g in got if len(g)]) \
+            if any(len(g) for g in got) else np.zeros((0, 2), np.int64)
+        want = np.concatenate([w_ for w_ in want if len(w_)]) \
+            if any(len(w_) for w_ in want) else np.zeros((0, 2), np.int64)
+        got = got[np.lexsort(got.T[::-1])]
+        want = want[np.lexsort(want.T[::-1])]
+        np.testing.assert_array_equal(got, want, err_msg=mode)
