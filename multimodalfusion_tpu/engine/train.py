@@ -77,6 +77,11 @@ class TrainConfig:
     bag_dtype: str = "float32"
     resume: bool = False             # continue a fold from its last epoch
     data_parallel: bool = False      # shard the batch axis over all devices
+    # shard the bag (instance) axis over all devices: attention pooling
+    # runs as fused per-shard partials combined with collectives
+    # (ops/sharded_pool.py; SURVEY §5 long-context plan).  For bags too
+    # large for one chip's HBM; mutually exclusive with data_parallel.
+    bag_shard: bool = False
     # resume-bundle format: msgpack (host-gathered flax bytes) or orbax
     # (per-shard async-capable directories; sharded arrays restore onto
     # the mesh without a host gather — see utils/orbax_io.py)
@@ -87,9 +92,10 @@ class TrainConfig:
 # model factory + batch adapter
 # ---------------------------------------------------------------------------
 
-def build_model(cfg: TrainConfig):
+def build_model(cfg: TrainConfig, bag_mesh=None):
     """Model dispatch (ref core_utils.py:76-98,
-    core_utils_pretrained.py:74-87)."""
+    core_utils_pretrained.py:74-87).  ``bag_mesh``: a ("bag",)-axis mesh
+    routes AMIL attention pooling through the cross-chip sharded op."""
     if cfg.pretrained:
         train_type = cfg.train_type
         if train_type == "multimodal-dropout":
@@ -106,14 +112,14 @@ def build_model(cfg: TrainConfig):
     if cfg.model_type == "path_attention_mil":
         return PathAMIL(model_size=cfg.model_size_wsi, gate=cfg.gate_path,
                         attn_dropout=cfg.drop_out, n_classes=cfg.n_classes,
-                        compute_dtype=cfg.bag_dtype)
+                        compute_dtype=cfg.bag_dtype, bag_mesh=bag_mesh)
     if cfg.model_type == "radio_attention_mil":
         return RadioAMIL(n_modalities=len(cfg.modalities),
                          radio_fusion=cfg.radio_fusion or "concat",
                          model_size=cfg.model_size_radio,
                          gate=cfg.gate_radio, attn_dropout=cfg.drop_out,
                          n_classes=cfg.n_classes,
-                         compute_dtype=cfg.bag_dtype)
+                         compute_dtype=cfg.bag_dtype, bag_mesh=bag_mesh)
     if cfg.model_type == "mm_attention_mil":
         return MMAttentionMIL(mode=cfg.mode,
                               n_modalities=len(cfg.modalities),
@@ -382,7 +388,10 @@ def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
                                reuse_collation_buffers=False))
     for batch in it:
         subject_ids = batch.pop("subject_ids")
-        if mesh is not None:
+        if mesh is not None and "bag" in mesh.axis_names:
+            from multimodalfusion_tpu.parallel.mesh import shard_batch_bags
+            jbatch = shard_batch_bags(batch, mesh)
+        elif mesh is not None:
             from multimodalfusion_tpu.parallel.mesh import (
                 pad_batch_to_devices, shard_batch)
             batch = pad_batch_to_devices(batch, mesh.size)
@@ -467,7 +476,23 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         train_split, val_split = datasets
         test_split = None
 
-    model = build_model(cfg)
+    bag_mesh = None
+    if cfg.bag_shard:
+        if cfg.data_parallel:
+            raise ValueError("bag_shard and data_parallel are mutually "
+                             "exclusive (one mesh axis each)")
+        if cfg.model_type not in ("path_attention_mil",
+                                  "radio_attention_mil"):
+            raise ValueError("bag_shard applies to AMIL models only")
+        if jax.device_count() < 2:
+            print("bag_shard: only one device visible, running unsharded")
+        else:
+            from multimodalfusion_tpu.parallel.mesh import make_bag_mesh
+            bag_mesh = make_bag_mesh()
+            print(f"bag_shard: instance axis sharded over "
+                  f"{bag_mesh.size} devices")
+
+    model = build_model(cfg, bag_mesh=bag_mesh)
     tx = make_optimizer(cfg)
     train_step, eval_step = make_steps(cfg, model, tx)
 
@@ -573,6 +598,12 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             opt_state = jax.device_put(opt_state, repl)
             print(f"data_parallel: batch axis sharded over "
                   f"{mesh.size} devices")
+    elif bag_mesh is not None:
+        from multimodalfusion_tpu.parallel.mesh import replicate_sharding
+        mesh = bag_mesh
+        repl = replicate_sharding(bag_mesh)
+        variables = jax.device_put(variables, repl)
+        opt_state = jax.device_put(opt_state, repl)
 
     stop = False
     for epoch in range(start_epoch, cfg.max_epochs):

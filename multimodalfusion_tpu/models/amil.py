@@ -33,6 +33,7 @@ class PathAMIL(nn.Module):
     attn_dropout: bool = False  # ref `dropout` arg
     n_classes: int = 4
     compute_dtype: str = "float32"
+    bag_mesh: object = None        # ("bag",) mesh -> sharded pooling
 
     @nn.compact
     def __call__(self, bags, mask, deterministic: bool = True,
@@ -43,6 +44,7 @@ class PathAMIL(nn.Module):
         h = nn.Dropout(0.25, deterministic=deterministic)(h)
         pool = AttentionPool(D=size[2], gated=self.gate,
                              attn_dropout=self.attn_dropout,
+                             bag_mesh=self.bag_mesh,
                              name="attention_net")
         if attention_only:
             _, attn, scores = pool(h, mask, deterministic, return_attn=True)
@@ -80,6 +82,7 @@ class RadioAMIL(nn.Module):
     attn_dropout: bool = False
     n_classes: int = 4
     compute_dtype: str = "float32"
+    bag_mesh: object = None        # ("bag",) mesh -> sharded pooling
 
     @nn.compact
     def __call__(self, bags, mask, deterministic: bool = True,
@@ -107,6 +110,7 @@ class RadioAMIL(nn.Module):
         h = nn.Dropout(0.25, deterministic=deterministic)(h)
         pool = AttentionPool(D=size[2], gated=self.gate,
                              attn_dropout=self.attn_dropout,
+                             bag_mesh=self.bag_mesh,
                              name="attention_net")
         if attention_only:
             _, attn, scores = pool(h, mask, deterministic, return_attn=True)

@@ -24,6 +24,11 @@ class AttentionPool(nn.Module):
     D: int = 256
     gated: bool = True
     attn_dropout: bool = False  # ref's `dropout` flag on the branches
+    # when a ("bag",)-axis Mesh is given, the fused pooling runs as
+    # per-shard Pallas partials combined with collectives over the bag
+    # (instance) axis (ops/sharded_pool.py) — cfg.bag_shard plumbs it
+    bag_mesh: object = None
+    bag_axis: str = "bag"
 
     @nn.compact
     def __call__(self, h, mask, deterministic: bool = True,
@@ -45,6 +50,11 @@ class AttentionPool(nn.Module):
         needs_unfused = return_attn or (self.attn_dropout
                                         and not deterministic)
         if not needs_unfused:
+            if self.bag_mesh is not None:
+                from multimodalfusion_tpu.ops.sharded_pool import \
+                    sharded_attention_pool
+                return sharded_attention_pool(h, mask, params, self.gated,
+                                              self.bag_mesh, self.bag_axis)
             pooled = mil.attention_pool(h, mask, params, self.gated)
             return pooled
 

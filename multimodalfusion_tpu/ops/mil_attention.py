@@ -395,6 +395,59 @@ def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
     return dh, dparams
 
 
+def _pool_bwd_reference(h, mask, params: AttnParams, out, ml, g,
+                        gated: bool):
+    """XLA mirror of ``_fused_pool_bwd_kernel`` with EXPLICIT (out, ml)
+    residuals — unlike the rematerialized fallback in
+    ``_attention_pool_bwd``, the softmax statistics are taken from the
+    caller, so the sharded pool can pass GLOBAL (max, normalizer) and
+    the global pooled output and get the exact local restriction of the
+    unsharded backward (ops/sharded_pool.py, CPU-mesh tests)."""
+    f32 = jnp.float32
+    m = ml[:, 0][:, None]
+    l = jnp.maximum(ml[:, 1], 1e-30)[:, None]
+    g = g.astype(f32)
+    out = out.astype(f32)
+    hf = h.astype(f32)
+    t = jnp.tanh(hf @ params.Wa.astype(f32) + params.ba)
+    if gated:
+        u = jax.nn.sigmoid(hf @ params.Wb.astype(f32) + params.bb)
+        z = t * u
+    else:
+        u = None
+        z = t
+    s = jnp.einsum("bnk,k->bn", z, params.wc.reshape(-1)) + params.cc[0]
+    s = jnp.where(mask > 0, s, NEG_INF)
+    a = jnp.exp(s - m) / l * (mask > 0)                     # [B, N]
+    alpha = jnp.sum(hf * g[:, None, :], axis=-1)            # [B, N]
+    gout = jnp.sum(g * out, axis=-1)[:, None]
+    ds = a * (alpha - gout)                                 # [B, N]
+    dz = ds[..., None] * params.wc.reshape(1, 1, -1)
+    if gated:
+        dpa = dz * u * (1.0 - t * t)
+        dpb = dz * t * u * (1.0 - u)
+    else:
+        dpa = dz * (1.0 - t * t)
+        dpb = jnp.zeros_like(dz)
+    dh = (a[..., None] * g[:, None, :]
+          + dpa @ params.Wa.T.astype(f32)
+          + (dpb @ params.Wb.T.astype(f32) if gated else 0.0))
+    dparams = AttnParams(
+        Wa=jnp.einsum("bnd,bnk->dk", hf, dpa).astype(params.Wa.dtype),
+        ba=jnp.sum(dpa, axis=(0, 1)).astype(params.ba.dtype),
+        Wb=(jnp.einsum("bnd,bnk->dk", hf, dpb)
+            if gated else jnp.zeros_like(params.Wb)).astype(
+                params.Wb.dtype),
+        bb=(jnp.sum(dpb, axis=(0, 1)) if gated
+            else jnp.zeros_like(params.bb)).astype(params.bb.dtype),
+        wc=jnp.einsum("bnk,bn->k", z, ds).reshape(-1, 1).astype(
+            params.wc.dtype),
+        # dcc = sum(ds) is analytically 0 (logit-shift invariance);
+        # keep the exact zero like the fused kernel
+        cc=jnp.zeros_like(params.cc))
+    return dh.astype(h.dtype), dparams
+
+
 # ---------------------------------------------------------------------------
 # Public op with custom VJP.
 # ---------------------------------------------------------------------------

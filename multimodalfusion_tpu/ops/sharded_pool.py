@@ -1,5 +1,5 @@
 """Cross-chip bag-sharded attention pooling (sequence parallelism for
-MIL bags).
+MIL bags) — a REAL training path, not a demonstrator.
 
 The reference computes each bag's softmax on one GPU (batch_size=1,
 bags up to ~30k instances after multi-slide concat,
@@ -9,12 +9,23 @@ pooling is computed from per-shard partials combined with XLA
 collectives — the flash/ring-style decomposition of softmax pooling
 (SURVEY.md §5 long-context note):
 
-    m   = pmax_i max(s_i)                    (global max)
-    l   = psum_i sum(exp(s_i - m))           (global normalizer)
-    acc = psum_i exp(s_i - m) @ h_i          (global weighted sum)
-    out = acc / l
+    m   = pmax_i m_i                        (global max)
+    W   = psum_i l_i exp(m_i - m)           (global normalizer)
+    out = psum_i w_i out_i / W,  w_i = l_i exp(m_i - m)
 
-Collectives ride ICI inside a slice; one pmax + two psums per layer.
+Each shard's (out_i, m_i, l_i) come from the SAME fused Pallas forward
+kernel the unsharded path uses (ops/mil_attention._fused_pool_pallas
+already emits the (max, normalizer) residuals), and the backward reuses
+the fused backward kernel verbatim per shard: with the GLOBAL (m, W)
+and GLOBAL pooled output as residuals, the per-instance gradient
+formula a_i (alpha_i - g.out) is exactly the local restriction of the
+unsharded backward, so dh stays shard-local and parameter gradients are
+one psum.  Collectives ride ICI inside a slice; one pmax + two psums
+forward, one psum backward.
+
+Enable in training with ``TrainConfig.bag_shard`` (CLI ``--bag_shard``):
+PathAMIL/RadioAMIL route their AttentionPool through this op on a
+("bag",)-axis mesh.
 """
 from __future__ import annotations
 
@@ -24,34 +35,109 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from multimodalfusion_tpu.ops import mil_attention as mil
 from multimodalfusion_tpu.ops.mil_attention import (AttnParams, NEG_INF,
                                                     attention_scores)
+
+
+def _local_partials(h_l, mask_l, params, gated):
+    """(out_local [B, D] f32, m_local [B], l_local [B]) on one shard —
+    fused Pallas kernel on TPU, unfused XLA elsewhere (tests run on the
+    virtual CPU mesh)."""
+    if mil._use_pallas():
+        out, ml = mil._fused_pool_pallas(h_l, mask_l, params, gated)
+        return out, ml[:, 0], ml[:, 1]
+    s = attention_scores(h_l, params, gated)
+    s = jnp.where(mask_l > 0, s, NEG_INF)
+    m = jnp.max(s, axis=1)
+    p = jnp.exp(s - m[:, None]) * (mask_l > 0)
+    l = jnp.sum(p, axis=1)
+    acc = jnp.einsum("bn,bnd->bd", p,
+                     h_l.astype(jnp.float32))
+    return acc / jnp.maximum(l, 1e-30)[:, None], m, l
+
+
+def _combine_local(h_l, mask_l, params, gated: bool, axis: str):
+    """Runs INSIDE shard_map (forward only): local fused partials +
+    collective combine.  Returns (pooled [B, D], global (m, W) [B, 2]),
+    both replicated."""
+    out_l, m_l, l_l = _local_partials(h_l, mask_l, params, gated)
+    # the max shift cancels mathematically (constants in the combine)
+    m = jax.lax.pmax(m_l, axis)
+    w = l_l * jnp.exp(m_l - m)
+    W = jnp.maximum(jax.lax.psum(w, axis), 1e-30)
+    out = jax.lax.psum(out_l * w[:, None], axis) / W[:, None]
+    return out, jnp.stack([m, W], axis=1)
+
+
+def _bwd_local(h_l, mask_l, params, out, ml, g, gated: bool, axis: str):
+    """Runs INSIDE shard_map (forward only, during the outer custom
+    VJP's backward): with the GLOBAL residuals (out, m, W), the fused
+    backward kernel per shard IS the exact local restriction of the
+    unsharded backward — dh stays local, parameter grads psum."""
+    if mil._use_pallas():
+        dh, dparams = mil._fused_pool_bwd_pallas(h_l, mask_l, params, out,
+                                                 ml, g, gated)
+    else:
+        dh, dparams = mil._pool_bwd_reference(h_l, mask_l, params, out,
+                                              ml, g, gated)
+    dparams = jax.tree.map(lambda x: jax.lax.psum(x, axis), dparams)
+    return dh, dparams
+
+
+# The custom VJP sits OUTSIDE shard_map: both passes only ever run
+# shard_map forward, so no transpose-of-replicated-output semantics are
+# involved (differentiating through an out_specs=P() shard_map scales
+# cotangents by 1/mesh_size).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _sharded_pool(h, mask, params, gated: bool, mesh: Mesh, axis: str):
+    out, _ = _sharded_pool_fwd(h, mask, params, gated, mesh, axis)
+    return out
+
+
+def _sharded_pool_fwd(h, mask, params, gated: bool, mesh: Mesh, axis: str):
+    fn = jax.shard_map(
+        functools.partial(_combine_local, gated=gated, axis=axis),
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    out, ml = fn(h, mask, params)
+    return out, (h, mask, params, out, ml)
+
+
+def _sharded_pool_bwd(gated: bool, mesh: Mesh, axis: str, res, g):
+    h, mask, params, out, ml = res
+    fn = jax.shard_map(
+        functools.partial(_bwd_local, gated=gated, axis=axis),
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis), P(), P(), P(), P()),
+        out_specs=(P(None, axis, None), P()),
+        check_vma=False,
+    )
+    dh, dparams = fn(h, mask, params, out, ml, g)
+    return dh, None, dparams
+
+
+_sharded_pool.defvjp(_sharded_pool_fwd, _sharded_pool_bwd)
 
 
 def sharded_attention_pool(h, mask, params: AttnParams, gated: bool,
                            mesh: Mesh, axis: str = "bag"):
     """h [B, N, D] / mask [B, N] with N sharded over ``axis``;
-    params replicated.  Returns pooled [B, D] (replicated)."""
+    params replicated.  Returns pooled [B, D] f32 (replicated).
+    Differentiable: dh comes back sharded like h, dparams replicated.
 
-    def local_fn(h_l, mask_l, params_l):
-        s = attention_scores(h_l, params_l, gated)
-        s = jnp.where(mask_l > 0, s, NEG_INF)
-        m_local = jnp.max(s, axis=1)
-        # the max shift cancels mathematically; no gradient needed (and
-        # pmax has no differentiation rule)
-        m = jax.lax.pmax(jax.lax.stop_gradient(m_local), axis)
-        p = jnp.exp(s - m[:, None]) * (mask_l > 0)
-        l = jax.lax.psum(jnp.sum(p, axis=1), axis)
-        acc = jax.lax.psum(jnp.einsum("bn,bnd->bd", p, h_l), axis)
-        return acc / jnp.maximum(l, 1e-30)[:, None]
-
-    fn = jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
-    return fn(h, mask, params)
+    N is padded to a mesh-size multiple with masked rows (neutral:
+    mask==0 logits go to NEG_INF); jnp.pad's transpose slices dh back.
+    """
+    n = mesh.shape[axis]
+    pad = (-h.shape[1]) % n
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    return _sharded_pool(h, mask, params, gated, mesh, axis)
 
 
 def bag_sharded_put(mesh: Mesh, axis: str = "bag"):

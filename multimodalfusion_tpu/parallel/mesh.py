@@ -65,3 +65,41 @@ def pad_batch_to_devices(batch: dict, n_devices: int) -> dict:
         else:
             out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# bag (instance-axis) sharding — sequence parallelism for MIL bags
+# ---------------------------------------------------------------------------
+
+BAG_AXIS = "bag"
+
+
+def make_bag_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over the bag (instance) axis for cross-chip sharded
+    attention pooling (ops/sharded_pool.py; cfg.bag_shard)."""
+    return make_mesh(n_devices, axis=BAG_AXIS)
+
+
+def shard_batch_bags(batch: dict, mesh: Mesh, axis: str = BAG_AXIS) -> dict:
+    """Device-put a loader batch with the INSTANCE axis (dim 1) of bag
+    arrays sharded over the mesh; everything else replicated.  Pads the
+    instance axis to a mesh-size multiple with masked rows (safe: the
+    pool treats mask==0 as NEG_INF logits)."""
+    n = mesh.shape[axis]
+    out = {}
+    for k, v in batch.items():
+        if not (hasattr(v, "ndim") and v.dtype != object):
+            out[k] = v
+            continue
+        is_bag = k.endswith("_bags") or k == "bags"
+        is_mask = k.endswith("_mask") or k == "mask"
+        if (is_bag or is_mask) and v.ndim >= 2:
+            pad = (-v.shape[1]) % n
+            if pad:
+                widths = [(0, 0), (0, pad)] + [(0, 0)] * (v.ndim - 2)
+                v = np.pad(v, widths)
+            spec = P(None, axis, *([None] * (v.ndim - 2)))
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return out

@@ -120,3 +120,120 @@ def test_dp_train_step_multidevice(rng):
     assert np.isfinite(float(out["loss"]))
     d1 = jax.tree.leaves(new_vars["params"])[0]
     assert not np.allclose(d0, np.asarray(d1))
+
+
+def test_bag_sharded_pool_param_grads_match(rng):
+    """Gradients wrt the ATTENTION PARAMS through the sharded pool (the
+    psum'd custom-VJP path) must equal the unsharded reference."""
+    B, N, D = 2, 512, 32
+    h = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+    lens = np.array([300, 512])
+    mask = jnp.array((np.arange(N)[None, :] < lens[:, None])
+                     .astype(np.float32))
+    params = make_attn(rng, D=D, Da=16)
+    mesh = Mesh(np.array(jax.devices()), ("bag",))
+    h_s = jax.device_put(h, NamedSharding(mesh, P(None, "bag", None)))
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P(None, "bag")))
+
+    def loss_sharded(p):
+        return jnp.sum(sharded_attention_pool(h_s, mask_s, p, True,
+                                              mesh) ** 2)
+
+    def loss_ref(p):
+        return jnp.sum(mil._pool_reference(h, mask, p, True) ** 2)
+
+    g_s = jax.grad(loss_sharded)(params)
+    g_r = jax.grad(loss_ref)(params)
+    for name in ("Wa", "ba", "Wb", "bb", "wc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_s, name)), np.asarray(getattr(g_r, name)),
+            rtol=2e-4, atol=1e-6, err_msg=name)
+
+
+def test_bag_shard_training_step_matches_unsharded(rng):
+    """One FULL PathAMIL training step with cfg.bag_shard over the
+    8-device mesh: loss and updated params equal the unsharded step
+    (VERDICT r2 item 2 acceptance)."""
+    from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                                   make_optimizer,
+                                                   make_steps)
+    from multimodalfusion_tpu.parallel.mesh import (make_bag_mesh,
+                                                    replicate_sharding,
+                                                    shard_batch_bags)
+    B, N = 2, 264   # multiple of 8 so BOTH runs share dropout-mask
+    # shapes; the non-multiple padding path is covered separately below
+    batch = {
+        "path_bags": rng.normal(size=(B, N, 1024)).astype(np.float32),
+        "path_mask": (np.arange(N)[None, :]
+                      < np.array([200, 260])[:, None]).astype(np.float32),
+        "Y": rng.integers(0, 4, B).astype(np.int32),
+        "t": rng.uniform(1, 50, B).astype(np.float32),
+        "c": np.zeros(B, np.float32),
+        "valid": np.ones(B, np.float32),
+    }
+    # attn_dropout must be off for the fused/sharded path (drop_out
+    # False) — matches AttentionPool's routing
+    results = {}
+    for shard in (False, True):
+        cfg = TrainConfig(model_type="path_attention_mil", mode="path",
+                          bag_loss="nll_surv", batch_size=B,
+                          drop_out=False, bag_shard=shard)
+        mesh = make_bag_mesh() if shard else None
+        model = build_model(cfg, bag_mesh=mesh)
+        tx = make_optimizer(cfg)
+        train_step, eval_step = make_steps(cfg, model, tx)
+        variables = dict(model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            bags=jnp.asarray(batch["path_bags"]),
+            mask=jnp.asarray(batch["path_mask"]), deterministic=True))
+        opt_state = tx.init(variables["params"])
+        if shard:
+            repl = replicate_sharding(mesh)
+            variables = jax.device_put(variables, repl)
+            opt_state = jax.device_put(opt_state, repl)
+            jbatch = shard_batch_bags(dict(batch), mesh)
+            assert jbatch["path_bags"].shape[1] == 264  # padded to 8x33
+        else:
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        new_vars, _, out = train_step(variables, opt_state, jbatch,
+                                      jax.random.PRNGKey(7))
+        results[shard] = (float(out["loss"]),
+                          jax.tree.map(np.asarray, new_vars["params"]))
+
+    loss_u, p_u = results[False]
+    loss_s, p_s = results[True]
+    assert loss_s == pytest.approx(loss_u, rel=1e-5)
+    # cc (attention bias): softmax pooling is invariant to a logit
+    # shift, so dcc == 0 analytically.  The sharded bwd keeps the exact
+    # zero (like the fused TPU kernel); the unsharded CPU fallback's
+    # autodiff leaves f32 cancellation noise that Adam normalizes into
+    # a full-size step — exclude cc and assert the exact-zero behavior.
+    cc_s = p_s["attention_net"].pop("cc")
+    p_u["attention_net"].pop("cc")
+    np.testing.assert_array_equal(cc_s, 0.0)
+    flat_u = jax.tree.leaves(p_u)
+    flat_s = jax.tree.leaves(p_s)
+    for a, b in zip(flat_u, flat_s):
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6)
+
+
+def test_bag_shard_pads_non_multiple_instance_axis(rng):
+    """N not divisible by the mesh size: the op pads with masked rows
+    (value-neutral) and unpads dh through jnp.pad's transpose."""
+    B, N, D = 1, 260, 32
+    h = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+    mask = jnp.ones((B, N), jnp.float32)
+    params = make_attn(rng, D=D, Da=16)
+    mesh = Mesh(np.array(jax.devices()), ("bag",))
+    out = sharded_attention_pool(h, mask, params, True, mesh)
+    ref = mil._pool_reference(h, mask, params, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g = jax.grad(lambda hh: jnp.sum(sharded_attention_pool(
+        hh, mask, params, True, mesh) ** 2))(h)
+    g_ref = jax.grad(lambda hh: jnp.sum(
+        mil._pool_reference(hh, mask, params, True) ** 2))(h)
+    assert g.shape == h.shape
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-7)
