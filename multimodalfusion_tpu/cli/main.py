@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--results_dir", default="./results")
     p.add_argument("--data_parallel", action="store_true", default=False,
                    help="shard training batches over all visible devices")
+    p.add_argument("--tb", action="store_true", default=False,
+                   help="also write tensorboard event files per fold "
+                        "(reference core_utils.py:31-36 writer tags)")
     p.add_argument("--bag_shard", action="store_true", default=False,
                    help="shard the bag (instance) axis over all devices: "
                         "AMIL attention pooling runs as fused per-shard "
@@ -214,7 +217,8 @@ def main(argv=None) -> int:
             omic_input_dim=omic_dim, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
             resume=args.resume, data_parallel=args.data_parallel,
-            bag_shard=args.bag_shard, ckpt_format=args.ckpt_format)
+            bag_shard=args.bag_shard, tb=args.tb,
+            ckpt_format=args.ckpt_format)
         with trace(args.profile_dir), timings.stage(f"fold{i}"):
             out = train_fold(splits, i, cfg, eval_only=args.eval_only)
         if args.split_mode == "train_val_test":

@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--data_parallel", action="store_true", default=False,
                    help="shard training batches over all visible devices")
+    p.add_argument("--tb", action="store_true", default=False,
+                   help="also write tensorboard event files per fold "
+                        "(reference core_utils.py:31-36 writer tags)")
     p.add_argument("--nll_ratio", type=float, default=0.2)
     p.add_argument("--n_layers", type=int, default=1)
     p.add_argument("--overwrite", action="store_true", default=False)
@@ -146,7 +149,7 @@ def main(argv=None) -> int:
             results_dir=results_dir, split_mode=args.split_mode,
             train_type=args.train_type, n_layers=args.n_layers,
             pretrained=True, resume=args.resume,
-            data_parallel=args.data_parallel,
+            data_parallel=args.data_parallel, tb=args.tb,
             ckpt_format=args.ckpt_format)
         out = train_fold(splits, i, cfg)
         if args.split_mode == "train_val_test":

@@ -82,6 +82,9 @@ class TrainConfig:
     # (ops/sharded_pool.py; SURVEY §5 long-context plan).  For bags too
     # large for one chip's HBM; mutually exclusive with data_parallel.
     bag_shard: bool = False
+    # also write tensorboard event files next to metrics.jsonl with the
+    # reference's scalar tags (ref core_utils.py:31-36,261-264,337-340)
+    tb: bool = False
     # resume-bundle format: msgpack (host-gathered flax bytes) or orbax
     # (per-shard async-capable directories; sharded arrays restore onto
     # the mesh without a host gather — see utils/orbax_io.py)
@@ -376,7 +379,7 @@ def load_checkpoint(path: str, variables_template):
 def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
                eval_step, rng, training: bool, epoch: int, seed: int,
                mesh=None):
-    all_risk, all_c, all_t, losses = [], [], [], []
+    all_risk, all_c, all_t, losses, totals = [], [], [], [], []
     # background-thread prefetch overlaps bag IO + collation with device
     # compute (the reference uses torch DataLoader workers for the same,
     # ref utils/utils.py:112); buffer reuse must be off — the worker
@@ -410,6 +413,7 @@ def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
         all_c.append(batch["c"][valid])
         all_t.append(batch["t"][valid])
         losses.append(float(out["loss"]))
+        totals.append(float(out.get("total", out["loss"])))
     all_risk = np.concatenate(all_risk) if all_risk else np.zeros(0)
     all_c = np.concatenate(all_c) if all_c else np.zeros(0)
     all_t = np.concatenate(all_t) if all_t else np.zeros(0)
@@ -420,6 +424,7 @@ def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
         cindex = float("nan")
     return variables, opt_state, rng, {
         "loss": float(np.mean(losses)) if losses else float("nan"),
+        "total": float(np.mean(totals)) if totals else float("nan"),
         "c_index": cindex, "risk": all_risk, "c": all_c, "t": all_t}
 
 
@@ -605,6 +610,13 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         variables = jax.device_put(variables, repl)
         opt_state = jax.device_put(opt_state, repl)
 
+    writer = None
+    if cfg.tb:
+        # reference-tooling-compatible event files (same records as
+        # metrics.jsonl; ref core_utils.py:31-36 SummaryWriter per fold)
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(fold_dir, flush_secs=15)
+
     stop = False
     for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.time()
@@ -624,6 +636,15 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
               f"({rec['sec']:.1f}s)")
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if writer is not None:
+            # the reference's exact tags, including its 'c_index' vs
+            # 'c-index' inconsistency (core_utils.py:262-264,338-340)
+            writer.add_scalar("train/loss_surv", tr["loss"], epoch)
+            writer.add_scalar("train/loss", tr["total"], epoch)
+            writer.add_scalar("train/c_index", tr["c_index"], epoch)
+            writer.add_scalar("val/loss_surv", va["loss"], epoch)
+            writer.add_scalar("val/loss", va["total"], epoch)
+            writer.add_scalar("val/c-index", va["c_index"], epoch)
         if epoch == 10:
             # ref core_utils.py:342
             save_checkpoint(mid_ckpt, variables, interop_spec)
@@ -648,6 +669,8 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         if stop:
             break
 
+    if writer is not None:
+        writer.close()
     save_checkpoint(ckpt, variables, interop_spec)
     final_results_val, final_val_c = summary_survival(
         cfg, val_split, variables, eval_step, val_idx)

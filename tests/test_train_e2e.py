@@ -312,3 +312,41 @@ def test_orbax_resume_with_data_parallel(cohort):
     # and the resumed run still matches the unsharded msgpack pipeline's
     # artifact contract
     assert (exp / "s_0_checkpoint.msgpack").exists()
+
+
+def test_tb_event_export(cohort):
+    """--tb writes tensorboard event files with the reference's scalar
+    tags (ref core_utils.py:31-36,261-264,337-340)."""
+    out_root = _run(cohort, ["--model_type", "max_net", "--mode", "omic",
+                             "--bag_loss", "cox_surv", "--batch_size", "16",
+                             "--k", "1", "--max_epochs", "3", "--tb"],
+                    results_sub="results_tb")
+    exp = list(out_root.iterdir())[0]
+    events = list((exp / "0").glob("events.out.tfevents.*"))
+    assert events, list((exp / "0").iterdir())
+    from tensorboard.backend.event_processing.event_file_loader import \
+        EventFileLoader
+    tags = {}
+    for ev in EventFileLoader(str(events[0])).Load():
+        for v in getattr(ev.summary, "value", []):
+            if v.HasField("simple_value"):
+                val = v.simple_value
+            elif v.tensor.float_val:
+                val = v.tensor.float_val[0]
+            elif v.tensor.tensor_content:
+                val = float(np.frombuffer(v.tensor.tensor_content,
+                                          np.float32)[0])
+            else:
+                continue
+            tags.setdefault(v.tag, []).append((ev.step, val))
+    for tag in ("train/loss_surv", "train/loss", "train/c_index",
+                "val/loss_surv", "val/loss", "val/c-index"):
+        assert tag in tags, sorted(tags)
+        assert len(tags[tag]) == 3   # one point per epoch
+    # the event values agree with metrics.jsonl
+    import json as _json
+    recs = [_json.loads(line) for line in
+            open(exp / "0" / "metrics.jsonl")]
+    want = [r["train_loss"] for r in recs]
+    got = [v for _, v in sorted(tags["train/loss_surv"])]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
