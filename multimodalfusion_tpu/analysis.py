@@ -270,6 +270,11 @@ def survival_auc(train_event, train_time, test_event, test_time, risk,
     keep = test_time <= train_time.max()
     test_event, test_time, risk = (test_event[keep], test_time[keep],
                                    risk[keep])
+    if len(test_time) == 0 or not test_event.any():
+        raise ValueError(
+            "no (uncensored) test subjects within the train cohort's "
+            "follow-up — check that the cohort CSV and results use the "
+            "same time unit")
     if times is None:
         # percentile grid over the observed test follow-up, strictly
         # inside the range so cases and controls both exist

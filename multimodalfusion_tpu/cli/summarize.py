@@ -121,7 +121,7 @@ def main(argv=None) -> int:
                     cohort[0], cohort[1], event, pooled["survival"],
                     pooled["risk"])
                 row.update({"iauc": iauc, "ipcw_cindex": ipcw_c})
-            except ValueError as e:
+            except (ValueError, IndexError, ZeroDivisionError) as e:
                 print(f"{exp}: survival_auc skipped ({e})")
         if args.bootstrap:
             c, lo, hi = analysis.bootstrap_cindex_ci(

@@ -54,20 +54,24 @@ class Split:
         self.genomic_cols = genomic_cols
         self.genomic_features = self.df[genomic_cols].to_numpy(
             dtype=np.float64, na_value=np.nan)
-        # a column that is ALL-NaN across the split is almost always a
+        # a column that is ALL-NaN across the split is usually a
         # scan-path column not excluded by `modalities` (e.g. running the
-        # lung cohort without --modality CT): it silently poisons every
-        # subject's omic vector, so fail loudly instead
+        # lung cohort without --modality CT); it marks EVERY subject
+        # omic-absent, so warn loudly (the engine raises a pointed error
+        # if a train split ends up with no usable samples)
+        self.all_nan_genomic_cols: List[str] = []
         if len(self.df) and "omic" in dataset.mode \
                 and not dataset.pretrained:
             all_nan = np.isnan(self.genomic_features).all(axis=0)
             if all_nan.any():
-                bad = [c for c, b in zip(genomic_cols, all_nan) if b]
-                raise ValueError(
-                    f"genomic columns {bad} are entirely NaN in this "
-                    f"split — if they are scan-path columns, exclude "
-                    f"them via --modality (dataset modalities="
-                    f"{dataset.modalities})")
+                self.all_nan_genomic_cols = [
+                    c for c, b in zip(genomic_cols, all_nan) if b]
+                print(f"WARNING: genomic columns "
+                      f"{self.all_nan_genomic_cols} are entirely NaN in "
+                      f"this split — every subject will be treated as "
+                      f"omic-absent; if they are scan-path columns, "
+                      f"exclude them via --modality (dataset modalities="
+                      f"{dataset.modalities})")
         self._scaler_mean = None
         self._scaler_std = None
 

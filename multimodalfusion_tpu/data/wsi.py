@@ -242,7 +242,9 @@ def points_in_contour(contour, pts: np.ndarray) -> np.ndarray:
 
     Exact replica of OpenCV's crossing-number walk (geometry.cpp), so
     boundary/vertex cases agree with the per-point oracle bit-for-bit —
-    tests/test_wsi.py fuzzes this against cv2 directly."""
+    tests/test_wsi.py fuzzes this against cv2 directly.  O(points x
+    edges): general-purpose utility; the patch-coordinate generator
+    uses the O(E + X log E) scanline ``_polygon_row_test`` instead."""
     v = np.asarray(contour, np.float64).reshape(-1, 2)
     x, y = np.asarray(pts, np.float64).T
     v0 = np.roll(v, 1, axis=0)       # edge (v0 -> v1), closing edge incl.
@@ -344,11 +346,12 @@ def contour_patch_coords(slide, contour, holes, patch_level: int = 0,
     """Grid candidates over the contour's bounding box filtered by the
     in-contour check and hole exclusion.  Level-0 coords, [N, 2].
 
-    All probe points of all candidates are tested in one vectorized
-    point-in-polygon sweep (points_in_contour) instead of the
+    All probe points of all candidates are tested by per-row scanline
+    crossing-parity sweeps (_polygon_row_test) instead of the
     reference's per-candidate mp.Pool starmap of pointPolygonTest calls
     (WholeSlideImage.py:515-533); the per-point path survives as the
-    oracle in tests/test_wsi.py."""
+    oracle in tests/test_wsi.py, which also fuzzes the row test against
+    cv2 directly."""
     if contour is not None:
         start_x, start_y, w, h = cv2.boundingRect(contour)
     else:

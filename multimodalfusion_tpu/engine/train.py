@@ -275,8 +275,13 @@ def make_steps(cfg: TrainConfig, model, tx):
     def eval_step(variables, batch):
         out, _ = _forward(variables, batch, True, None)
         loss = _loss_from_out(out, batch)
-        return {"loss": loss, "risk": out["risk"], "S": out["S"],
-                "hazards": out["hazards"]}
+        # the reference's val/loss also carries the L1 term
+        # (core_utils.py:305-312,337-340)
+        total = loss
+        if reg_fn is not None:
+            total = total + cfg.lambda_reg * reg_fn(variables["params"])
+        return {"loss": loss, "total": total, "risk": out["risk"],
+                "S": out["S"], "hazards": out["hazards"]}
 
     return train_step, eval_step
 
@@ -489,6 +494,14 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         if cfg.model_type not in ("path_attention_mil",
                                   "radio_attention_mil"):
             raise ValueError("bag_shard applies to AMIL models only")
+        if cfg.drop_out:
+            # attention-branch dropout forces the unfused jnp pooling
+            # path (models/pooling.py), which would silently bypass the
+            # sharded fused kernels — refuse instead
+            raise ValueError("bag_shard requires attention dropout off "
+                             "(drop --drop_out): the fused sharded "
+                             "pooling path cannot apply attention-branch "
+                             "dropout")
         if jax.device_count() < 2:
             print("bag_shard: only one device visible, running unsharded")
         else:
@@ -503,6 +516,15 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
 
     # init from one real batch
     train_idx = usable_indices(train_split)
+    if not train_idx:
+        hint = ""
+        bad = getattr(train_split, "all_nan_genomic_cols", [])
+        if bad:
+            hint = (f" (genomic columns {bad} are entirely NaN — if they "
+                    f"are scan-path columns, exclude them via --modality)")
+        raise ValueError(
+            f"no usable samples in the train split for mode "
+            f"'{cfg.mode}'{hint}")
     val_idx = usable_indices(val_split)
     test_idx = usable_indices(test_split) if test_split is not None else None
     init_batch = next(iter_batches(train_split, batch_size=cfg.batch_size,

@@ -192,10 +192,17 @@ def concordance_index_ipcw(train_event, train_time, test_event, test_time,
     if not event.any():
         raise ValueError("All samples are censored")
 
-    ipcw = _ipcw_weights(train_event, train_time, event, time)
-    w = np.square(ipcw)
+    # sksurv truncates BEFORE estimating the weights, so a zero G at an
+    # event time >= tau must not raise — weight those rows as 0 here too
     if tau is not None:
-        w = np.where(time < tau, w, 0.0)
+        in_tau = time < tau
+        ipcw = np.zeros(len(time))
+        ipcw[in_tau] = _ipcw_weights(train_event, train_time,
+                                     event[in_tau], time[in_tau])
+        w = np.square(ipcw)
+    else:
+        ipcw = _ipcw_weights(train_event, train_time, event, time)
+        w = np.square(ipcw)
 
     later = time[None, :] > time[:, None]
     tied_at = (time[None, :] == time[:, None]) & (~event)[None, :]

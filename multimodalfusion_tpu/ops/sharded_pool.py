@@ -43,10 +43,12 @@ from multimodalfusion_tpu.ops.mil_attention import (AttnParams, NEG_INF,
 def _local_partials(h_l, mask_l, params, gated):
     """(out_local [B, D] f32, m_local [B], l_local [B]) on one shard —
     fused Pallas kernel on TPU, unfused XLA elsewhere (tests run on the
-    virtual CPU mesh)."""
+    virtual CPU mesh; the kernel branch is exercised on CPU via Pallas
+    interpret mode in tests/test_sharding.py)."""
     if mil._use_pallas():
+        # the fused kernel's residual ml is [B, 1, 2] = (max, normalizer)
         out, ml = mil._fused_pool_pallas(h_l, mask_l, params, gated)
-        return out, ml[:, 0], ml[:, 1]
+        return out, ml[:, 0, 0], ml[:, 0, 1]
     s = attention_scores(h_l, params, gated)
     s = jnp.where(mask_l > 0, s, NEG_INF)
     m = jnp.max(s, axis=1)
@@ -76,8 +78,9 @@ def _bwd_local(h_l, mask_l, params, out, ml, g, gated: bool, axis: str):
     backward kernel per shard IS the exact local restriction of the
     unsharded backward — dh stays local, parameter grads psum."""
     if mil._use_pallas():
+        # the backward kernel's ml BlockSpec expects [B, 1, 2]
         dh, dparams = mil._fused_pool_bwd_pallas(h_l, mask_l, params, out,
-                                                 ml, g, gated)
+                                                 ml[:, None, :], g, gated)
     else:
         dh, dparams = mil._pool_bwd_reference(h_l, mask_l, params, out,
                                               ml, g, gated)

@@ -296,8 +296,9 @@ def test_make_splits_disjoint_folds(tmp_path):
 
 def test_all_nan_genomic_column_raises(tmp_path):
     """A scan-path column not excluded via `modalities` (e.g. lung CT
-    without --modality CT) is all-NaN for omics cohorts and would
-    silently mark every subject omic-absent — the split must refuse."""
+    without --modality CT) is all-NaN for omics cohorts and marks every
+    subject omic-absent — the split warns and records the columns, and
+    the engine raises a pointed error when the train split is empty."""
     import pandas as pd
     import pytest as _pytest
     from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
@@ -323,10 +324,18 @@ def test_all_nan_genomic_column_raises(tmp_path):
 
     ds = SurvivalDataset(str(csv), mode="omic", data_dir=str(tmp_path),
                          n_bins=2, modalities=["T1"])
+    tr, va = ds.load_splits(str(sp_csv))
+    assert tr.all_nan_genomic_cols == ["CT"]
+    from multimodalfusion_tpu.data.loaders import usable_indices
+    assert usable_indices(tr) == []
+    from multimodalfusion_tpu.engine.train import TrainConfig, train_fold
     with _pytest.raises(ValueError, match="CT"):
-        ds.load_splits(str(sp_csv))
+        train_fold((tr, va), 0, TrainConfig(
+            model_type="max_net", mode="omic", bag_loss="cox_surv",
+            batch_size=4, results_dir=str(tmp_path / "res")))
     # excluding the column via modalities makes the same cohort load
     ds2 = SurvivalDataset(str(csv), mode="omic", data_dir=str(tmp_path),
                           n_bins=2, modalities=["CT"])
     tr, va = ds2.load_splits(str(sp_csv))
     assert len(tr) == 8 and len(va) == 4
+    assert tr.all_nan_genomic_cols == []

@@ -247,3 +247,18 @@ def test_cumulative_dynamic_auc_tied_estimates_half_credit():
     aucs, _ = metrics.cumulative_dynamic_auc(e, t, e, t, risk,
                                              np.array([4.5]))
     np.testing.assert_allclose(aucs, 0.5)
+
+
+def test_cindex_ipcw_tau_excludes_zero_G_events():
+    """An event past the train follow-up (G == 0 there) must not raise
+    when tau truncates it away — sksurv masks BEFORE weighting."""
+    tr_t = np.array([1.0, 2.0, 3.0, 4.0])
+    tr_e = np.array([1, 1, 0, 0], bool)   # censoring ends at t=4 -> G(4)=0
+    te_t = np.array([1.5, 2.5, 5.0])
+    te_e = np.array([1, 1, 1], bool)      # event at 5.0 has G == 0
+    risk = np.array([3.0, 2.0, 1.0])
+    c = metrics.concordance_index_ipcw(tr_e, tr_t, te_e, te_t, risk,
+                                       tau=4.0)[0]
+    assert c == 1.0
+    with pytest.raises(ValueError):
+        metrics.concordance_index_ipcw(tr_e, tr_t, te_e, te_t, risk)

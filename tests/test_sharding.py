@@ -237,3 +237,41 @@ def test_bag_shard_pads_non_multiple_instance_axis(rng):
     assert g.shape == h.shape
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_bag_sharded_pool_pallas_interpret_branch(rng, monkeypatch):
+    """Exercise the TPU (fused-kernel) branch of the sharded pool on the
+    CPU mesh via Pallas interpret mode — this is the branch real
+    multi-chip hardware runs, which the default CPU tests bypass
+    (catches residual-shape mismatches between the kernels and the
+    collective combine)."""
+    import functools as ft
+    real_fwd = mil._fused_pool_pallas
+    real_bwd = mil._fused_pool_bwd_pallas
+    monkeypatch.setattr(mil, "_use_pallas", lambda: True)
+    monkeypatch.setattr(mil, "_fused_pool_pallas",
+                        ft.partial(real_fwd, interpret=True))
+    monkeypatch.setattr(mil, "_fused_pool_bwd_pallas",
+                        ft.partial(real_bwd, interpret=True))
+
+    B, N, D, Da = 2, 1024, 256, 256
+    h = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+    lens = np.array([700, 1024])
+    mask = jnp.array((np.arange(N)[None, :] < lens[:, None])
+                     .astype(np.float32))
+    params = make_attn(rng, D=D, Da=Da)
+    mesh = Mesh(np.array(jax.devices()), ("bag",))
+    h_s = jax.device_put(h, NamedSharding(mesh, P(None, "bag", None)))
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P(None, "bag")))
+
+    out = sharded_attention_pool(h_s, mask_s, params, True, mesh)
+    ref = mil._pool_reference(h, mask, params, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+    g = jax.grad(lambda hh: jnp.sum(sharded_attention_pool(
+        hh, mask_s, params, True, mesh) ** 2))(h_s)
+    g_ref = jax.grad(lambda hh: jnp.sum(
+        mil._pool_reference(hh, mask, params, True) ** 2))(h)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-6)

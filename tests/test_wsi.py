@@ -263,3 +263,26 @@ def test_vectorized_coords_match_per_point_oracle(slide):
         got = got[np.lexsort(got.T[::-1])]
         want = want[np.lexsort(want.T[::-1])]
         np.testing.assert_array_equal(got, want, err_msg=mode)
+
+
+def test_polygon_row_test_fuzz_vs_cv2():
+    """The production scanline row test must agree with cv2
+    bit-for-bit on every row, including vertex/edge/horizontal hits."""
+    import cv2
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        n_v = int(rng.integers(3, 12))
+        verts = rng.integers(0, 60, size=(n_v, 1, 2)).astype(np.int32)
+        # add a horizontal edge deliberately on some trials
+        if trial % 2:
+            verts[1, 0, 1] = verts[0, 0, 1]
+        ys = np.unique(np.concatenate([
+            rng.integers(-5, 65, size=8), verts[:, 0, 1]]))
+        qx = np.arange(-5.0, 66.0)
+        for y in ys:
+            want = np.array([int(np.sign(cv2.pointPolygonTest(
+                verts, (float(x), float(y)), False))) for x in qx],
+                np.int8)
+            got = wsi._polygon_row_test(verts, float(y), qx)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"trial {trial} y={y}")
