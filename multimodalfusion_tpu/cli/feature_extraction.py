@@ -6,7 +6,7 @@ a ``.pt`` copy — the exact artifact schema stage-2 training reads
 (ref feature_extraction.py:57-61, 149-156).
 
 Glioma: NIfTI MRI sequences (FLAIR/T1/T1Gd/T2), native reader.
-Lung: DICOM CT series (requires pydicom; gated) with lung segmentation;
+Lung: DICOM CT series (pydicom if installed, else the native reader in data/dicom.py) with lung segmentation;
 failures are accumulated into not_processed.pkl (ref :175-214).
 """
 from __future__ import annotations

@@ -2,10 +2,11 @@
 utils/ct_preprocess_utils.py and the scan paths of
 datasets/dataset_raw.py.
 
-DICOM ingestion is gated: ``pydicom`` is not in this image, so
-``load_scan`` accepts either a directory of .dcm files (requires
-pydicom) or falls through with a clear error; the NIfTI path
-(data/nifti.py) is fully native.  Lung segmentation uses the classical
+DICOM ingestion is native: ``load_scan`` reads .dcm series through
+pydicom when installed and otherwise through the built-in reader
+(data/dicom.py — Part-10, explicit/implicit VR little endian;
+compressed syntaxes raise with guidance to convert to NIfTI,
+data/nifti.py).  Lung segmentation uses the classical
 threshold/connected-components estimator (ref segment_lung_mask,
 ct_preprocess_utils.py:90-129) — the reference's ``lungmask`` U-Net is
 likewise gated behind an optional import.
@@ -23,19 +24,20 @@ import scipy.ndimage
 # ---------------------------------------------------------------------------
 
 def load_scan(path: str):
-    """Load and z-sort a DICOM series (ref load_scan :14-34).  Requires
-    pydicom; raises ImportError with guidance otherwise."""
+    """Load and z-sort a DICOM series (ref load_scan :14-34).  Uses
+    pydicom when installed, otherwise the native reader
+    (data/dicom.py: Part-10, explicit/implicit VR little endian)."""
     import os
-    try:
-        import pydicom
-    except ImportError as e:
-        raise ImportError(
-            "pydicom is required for DICOM ingestion; convert the series "
-            "to NIfTI (data/nifti.py) or install pydicom") from e
-    names = [n for n in os.listdir(path) if ".dcm" in n]
+    names = [n for n in os.listdir(path) if ".dcm" in n.lower()]
     if not names:
         return None
-    slices = [pydicom.dcmread(os.path.join(path, n)) for n in names]
+    try:
+        import pydicom
+        slices = [pydicom.dcmread(os.path.join(path, n)) for n in names]
+    except ImportError:
+        from multimodalfusion_tpu.data import dicom as native_dicom
+        slices = [native_dicom.read_file(os.path.join(path, n))
+                  for n in names]
     slices.sort(key=lambda s: float(s.ImagePositionPatient[2]))
     thickness = abs(slices[0].ImagePositionPatient[2]
                     - slices[1].ImagePositionPatient[2])

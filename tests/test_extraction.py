@@ -285,3 +285,130 @@ def test_feature_extraction_cli_data_parallel(tmp_path):
     feats, sids = load_features_h5(
         str(tmp_path / "out" / "glioma" / "radio_h5_files" / "T1" / "S1.h5"))
     assert feats.shape == (4, 1024) and list(sids) == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# native DICOM reader (data/dicom.py)
+# ---------------------------------------------------------------------------
+
+def _synthetic_ct_volume(n=6, hw=32, seed=0):
+    rng = np.random.default_rng(seed)
+    # stored values around soft tissue after intercept -1024
+    vol = rng.integers(900, 1200, size=(n, hw, hw)).astype(np.int16)
+    return vol
+
+
+def test_native_dicom_roundtrip_explicit_and_implicit(tmp_path):
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume()
+    for implicit in (False, True):
+        d = tmp_path / ("imp" if implicit else "exp")
+        d.mkdir()
+        for i in range(vol.shape[0]):
+            dicom.write_ct_slice(str(d / f"s{i:03d}.dcm"), vol[i],
+                                 z=float(i) * 2.5, spacing=(0.7, 0.8),
+                                 thickness=2.5, intercept=-1024.0,
+                                 slope=1.0, implicit=implicit)
+        slices = dicom.read_series(str(d))
+        assert len(slices) == vol.shape[0]
+        s0 = slices[0]
+        np.testing.assert_array_equal(s0.pixel_array, vol[0])
+        assert s0.ImagePositionPatient[2] == 0.0
+        assert s0.RescaleIntercept == -1024.0
+        assert s0.PixelSpacing == [0.7, 0.8]
+        assert float(s0.SliceThickness) == 2.5
+
+
+def test_native_dicom_through_load_scan_and_hu(tmp_path):
+    """ct_preprocess.load_scan + get_pixels_hu over native-reader slices
+    reproduce the volume in Hounsfield units (ref load_scan +
+    get_pixels_hu semantics)."""
+    from multimodalfusion_tpu.data import ct_preprocess as ct
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=5)
+    d = tmp_path / "series"
+    d.mkdir()
+    order = [3, 0, 4, 1, 2]  # shuffled on disk; z-sort must fix it
+    for file_i, z_i in enumerate(order):
+        dicom.write_ct_slice(str(d / f"f{file_i}.dcm"), vol[z_i],
+                             z=float(z_i) * 2.0, intercept=-1024.0,
+                             slope=1.0)
+    slices = ct.load_scan(str(d))
+    assert [float(s.ImagePositionPatient[2]) for s in slices] == \
+        [0.0, 2.0, 4.0, 6.0, 8.0]
+    assert float(slices[0].SliceThickness) == 2.0  # ref reassigns it
+    hu = ct.get_pixels_hu(slices)
+    np.testing.assert_array_equal(hu, vol.astype(np.int16) - 1024)
+
+
+def test_native_dicom_skips_sequences_and_unknown_tags(tmp_path):
+    """Unknown tags and undefined-length sequences between the tags we
+    need must be skipped structurally."""
+    import struct
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    p = str(tmp_path / "sq.dcm")
+    dicom.write_ct_slice(p, vol[0], z=1.0)
+    raw = open(p, "rb").read()
+    head, body = raw[:132], raw[132:]
+    # splice an undefined-length SQ and an unknown short element between
+    # the file meta group (0002) and the dataset body
+    pos = 0
+    while struct.unpack("<H", body[pos:pos + 2])[0] == 0x0002:
+        vr = body[pos + 4:pos + 6]
+        if vr in dicom._LONG_VRS:
+            ln = struct.unpack("<I", body[pos + 8:pos + 12])[0]
+            pos += 12 + ln
+        else:
+            ln = struct.unpack("<H", body[pos + 6:pos + 8])[0]
+            pos += 8 + ln
+    sq = (struct.pack("<HH", 0x0008, 0x1140) + b"SQ\x00\x00"
+          + struct.pack("<I", 0xFFFFFFFF)
+          + struct.pack("<HHI", 0xFFFE, 0xE000, 4) + b"abcd"
+          + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    unknown = (struct.pack("<HH", 0x0009, 0x0010) + b"LO"
+               + struct.pack("<H", 4) + b"ACME")
+    patched = head + body[:pos] + sq + unknown + body[pos:]
+    p2 = str(tmp_path / "sq2.dcm")
+    open(p2, "wb").write(patched)
+    s = dicom.read_file(p2)
+    np.testing.assert_array_equal(s.pixel_array, vol[0])
+    assert s.ImagePositionPatient[2] == 1.0
+
+
+def test_native_dicom_rejects_compressed_syntax(tmp_path):
+    import struct
+    from multimodalfusion_tpu.data import dicom
+    ts = b"1.2.840.10008.1.2.4.70"  # JPEG lossless
+    meta = dicom._enc_element(0x0002, 0x0010, "UI", ts)
+    p = str(tmp_path / "jpg.dcm")
+    open(p, "wb").write(b"\x00" * 128 + b"DICM" + meta)
+    with pytest.raises(NotImplementedError, match="NIfTI"):
+        dicom.read_file(p)
+
+
+def test_preprocess_lung_scan_from_native_dicom(tmp_path):
+    """Full lung path over a native-read DICOM series equals the same
+    volume through preprocess_lung_volume directly."""
+    from multimodalfusion_tpu.data import dicom, radiology
+    rng = np.random.default_rng(5)
+    n, hw = 10, 48
+    # an air background + a soft-tissue body with two air pockets so the
+    # lung segmenter finds something
+    vol_hu = np.full((n, hw, hw), -1000, np.int16)
+    vol_hu[:, 8:40, 8:40] = 40
+    vol_hu[:, 14:34, 12:22] = -850
+    vol_hu[:, 14:34, 26:36] = -850
+    vol_hu = vol_hu + rng.integers(-5, 5, vol_hu.shape).astype(np.int16)
+    d = tmp_path / "ct"
+    d.mkdir()
+    for i in range(n):
+        dicom.write_ct_slice(str(d / f"s{i:02d}.dcm"),
+                             vol_hu[i] + 1024, z=float(i) * 2.0,
+                             spacing=(1.5, 1.5), thickness=2.0,
+                             intercept=-1024.0)
+    slices, ids = radiology.preprocess_lung_scan(str(d))
+    want_slices, want_ids = radiology.preprocess_lung_volume(
+        vol_hu.astype(np.int16), (2.0, 1.5, 1.5))
+    np.testing.assert_array_equal(ids, want_ids)
+    np.testing.assert_allclose(slices, want_slices, atol=1e-6)
