@@ -495,9 +495,34 @@ def run_omic_branch(cfg_ns) -> int:
         return model.apply(variables, genomic_features=g,
                            deterministic=True)["risk"]
 
-    (attr,) = integrated_gradients(risk_fn,
-                                   (jnp.asarray(batch["genomic"]),))
+    # method: 'ig' (zero-baseline integrated gradients, default) or
+    # 'expected_gradients' — the reference's SHAP GradientExplainer
+    # semantics with the TRAIN rows as the background distribution
+    # (ref create_heatmaps.py:173-175)
+    h_args = getattr(cfg_ns, "heatmap_arguments", SimpleNamespace())
+    method = getattr(h_args, "method", "ig")
     valid = np.asarray(batch["valid"]) > 0
+    if method == "expected_gradients":
+        from multimodalfusion_tpu.interpret.ig import expected_gradients
+        split_df = pd.read_csv(os.path.join(
+            settings["split_dir"],
+            f"splits_{getattr(m, 'which_k', 0)}.csv"))
+        train_ids = set(split_df["train"].dropna())
+        ids_all = np.asarray(subject_ids)
+        bg_mask = valid & np.isin(ids_all, list(train_ids))
+        background = np.asarray(batch["genomic"])[bg_mask]
+        if len(background) == 0:       # no train rows loaded: use all
+            background = np.asarray(batch["genomic"])[valid]
+        attr = expected_gradients(
+            risk_fn, jnp.asarray(batch["genomic"]),
+            jnp.asarray(background),
+            n_samples=int(getattr(h_args, "shap_samples", 200)),
+            seed=settings["seed"])
+    elif method == "ig":
+        (attr,) = integrated_gradients(risk_fn,
+                                       (jnp.asarray(batch["genomic"]),))
+    else:
+        raise NotImplementedError(method)
     attr = np.asarray(attr)[valid]  # drop padded rows before pairing ids
     genes = split.genomic_cols
     per_patient = pd.DataFrame(attr, columns=genes)

@@ -66,6 +66,39 @@ def integrated_gradients(fn: Callable, inputs: Sequence[jax.Array],
                  for x, b, t in zip(inputs, baselines, total))
 
 
+def expected_gradients(fn: Callable, x: jax.Array, background: jax.Array,
+                       n_samples: int = 200, seed: int = 0) -> jax.Array:
+    """SHAP GradientExplainer semantics (expected gradients) — the
+    attribution the reference computes for omics
+    (create_heatmaps.py:173-175: shap.GradientExplainer(model, train)):
+
+        attr_i = E_{b ~ background, a ~ U(0,1)}
+                   [(x_i - b_i) * d f / d x_i (b + a (x - b))]
+
+    ``x`` [B, G] samples, ``background`` [M, G] reference rows (the
+    reference passes the TRAIN design matrix).  One lax.scan step per
+    Monte-Carlo draw; each step evaluates the whole batch."""
+    x = jnp.asarray(x)
+    background = jnp.asarray(background)
+    grad_fn = jax.grad(lambda xs: jnp.sum(fn(xs)))
+    key = jax.random.PRNGKey(seed)
+    bidx = jax.random.randint(key, (n_samples, x.shape[0]), 0,
+                              background.shape[0])
+    alphas = jax.random.uniform(jax.random.fold_in(key, 1),
+                                (n_samples, x.shape[0]))
+
+    def body(acc, ba):
+        bi, alpha = ba
+        b = background[bi]                       # [B, G]
+        pt = b + alpha[:, None] * (x - b)
+        g = grad_fn(pt)
+        return acc + (x - b) * g, None
+
+    init = jnp.zeros_like(x)
+    total, _ = jax.lax.scan(body, init, (bidx, alphas))
+    return total / n_samples
+
+
 def modality_attributions(fn: Callable, inputs: Sequence[jax.Array],
                           names: Sequence[str], n_steps: int = 20):
     """Per-modality |IG| sums (ref create_attributions.py:118-160 computes

@@ -505,3 +505,29 @@ def test_all_clis_expose_help():
               "create_attributions", "gradcam", "summarize"):
         mod = importlib.import_module(f"multimodalfusion_tpu.cli.{m}")
         assert mod.build_parser().format_help()
+
+
+def test_expected_gradients_linear_exact():
+    """For linear f and a single-row background, expected gradients is
+    exactly (x - b) * w regardless of the sampled alphas."""
+    from multimodalfusion_tpu.interpret.ig import expected_gradients
+    w = jnp.array([1.0, -2.0, 0.5])
+    b = jnp.array([[0.3, -0.1, 1.0]])
+    x = jnp.array([[2.0, 1.0, -1.0], [0.0, 0.5, 0.25]])
+    attr = expected_gradients(lambda a: a @ w, x, b, n_samples=16)
+    np.testing.assert_allclose(np.asarray(attr), np.asarray((x - b) * w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_expected_gradients_converges_to_background_mean():
+    """With many draws, linear-model attributions approach
+    (x - mean(background)) * w."""
+    from multimodalfusion_tpu.interpret.ig import expected_gradients
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=6).astype(np.float32))
+    bg = jnp.asarray(rng.normal(size=(40, 6)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(3, 6)).astype(np.float32))
+    attr = expected_gradients(lambda a: a @ w, x, bg, n_samples=4000)
+    want = (x - jnp.mean(bg, axis=0)) * w
+    np.testing.assert_allclose(np.asarray(attr), np.asarray(want),
+                               atol=0.15)

@@ -290,3 +290,25 @@ def test_heatmap_radio_branch_lung_display(trained, tmp_path):
     assert scores["subject_id"].nunique() == 2
     pngs = list((tmp_path / "hm_lung" / subjects[0] / "top").glob("*.png"))
     assert len(pngs) >= 1
+
+
+def test_heatmap_omic_branch_expected_gradients(trained, tmp_path):
+    """method: expected_gradients runs the SHAP GradientExplainer
+    semantics with the train rows as background (ref
+    create_heatmaps.py:173-175)."""
+    b, df = trained
+    exp = next((b / "s2o" / "brain" / "2foldcv").iterdir())
+    config = {
+        "exp_arguments": {"branch": "omic",
+                          "save_dir": str(tmp_path / "hm_omic_eg")},
+        "data_arguments": {},
+        "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+        "heatmap_arguments": {"local_n": 2, "method": "expected_gradients",
+                              "shap_samples": 64},
+    }
+    cfg_path = tmp_path / "omic_eg.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config", str(cfg_path)])
+    assert rc == 0
+    g = pd.read_csv(tmp_path / "hm_omic_eg" / "omic_attr_global.csv")
+    assert len(g) == 12 and g["mean_abs_attr"].max() > 0
