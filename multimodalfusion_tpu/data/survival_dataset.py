@@ -43,6 +43,19 @@ class Sample:
     present: Dict[str, bool] = field(default_factory=dict)
 
 
+def _slide_pt_name(slide_id) -> str:
+    """slide_id -> its per-slide bag filename.  The reference stores
+    '{slide_stem}.pt' for .svs slides (dataset_survival.py:355-367); any
+    known slide extension maps the same way so non-.svs sources (tiff,
+    ndpi, png test slides) resolve their bags too."""
+    sid = str(slide_id)
+    stem, ext = os.path.splitext(sid)
+    if ext.lower() in (".svs", ".tiff", ".tif", ".ndpi", ".png", ".jpg",
+                       ".mrxs", ".pt"):
+        return stem + ".pt"
+    return sid + ".pt"
+
+
 class Split:
     """A view over a subset of patients with lazy feature loading."""
 
@@ -137,7 +150,7 @@ class Split:
             present["path"] = any(
                 os.path.exists(os.path.join(
                     ds.data_dir, "path_pt_files",
-                    str(sid).replace(".svs", ".pt")))
+                    _slide_pt_name(sid)))
                 for sid in slide_ids)
 
         if "omic" in ds.mode:
@@ -193,7 +206,7 @@ class Split:
             parts = []
             for sid in slide_ids:
                 p = os.path.join(ds.data_dir, "path_pt_files",
-                                 str(sid).replace(".svs", ".pt"))
+                                 _slide_pt_name(sid))
                 try:
                     parts.append(io.load_pt(p))
                 except (OSError, ValueError):
