@@ -26,23 +26,30 @@ def _setup():
     from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
                                                    make_optimizer,
                                                    make_steps)
-    B, N, D = 8, 4096, 1024
+    # B=32 measured best on the v5e (5.4k bags/s at B=8, 6.4k at 16,
+    # 6.9k at 32 within one session); the reference cannot batch at all
+    # (ragged collate forces batch_size=1, ref README.md:95)
+    B, N, D = 32, 4096, 1024
     rng = np.random.default_rng(0)
-    batch = {
-        "path_bags": rng.normal(size=(B, N, D)).astype(np.float32),
-        "path_mask": (rng.uniform(size=(B, N)) < 0.9).astype(np.float32),
-        "Y": rng.integers(0, 4, size=B).astype(np.int32),
-        "t": rng.uniform(1, 100, size=B).astype(np.float32),
-        "c": rng.integers(0, 2, size=B).astype(np.float32),
-        "valid": np.ones(B, np.float32),
-    }
     cfg = TrainConfig(model_type="path_attention_mil", mode="path",
                       bag_loss="nll_surv", gate_path=True, batch_size=B,
                       bag_dtype="bfloat16")
     model = build_model(cfg)
     tx = make_optimizer(cfg)
     train_step, _ = make_steps(cfg, model, tx)
-    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    # bags are generated ON DEVICE: pushing 512 MB through the ~12 MB/s
+    # relay would dominate bench wall-clock (real hosts stage via PCIe)
+    import jax.random as jrandom
+    kb, km = jrandom.split(jrandom.PRNGKey(0))
+    jbatch = {
+        "path_bags": jrandom.normal(kb, (B, N, D), jnp.float32),
+        "path_mask": (jrandom.uniform(km, (B, N)) < 0.9).astype(
+            jnp.float32),
+        "Y": jnp.asarray(rng.integers(0, 4, size=B), jnp.int32),
+        "t": jnp.asarray(rng.uniform(1, 100, size=B), jnp.float32),
+        "c": jnp.asarray(rng.integers(0, 2, size=B), jnp.float32),
+        "valid": jnp.ones(B, jnp.float32),
+    }
     key = jax.random.PRNGKey(0)
     variables = dict(model.init({"params": key, "dropout": key},
                                 bags=jbatch["path_bags"],

@@ -322,8 +322,11 @@ def _fused_pool_bwd_kernel(h_ref, mask_ref, g_ref, out_ref, ml_ref,
 
 
 def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
-                           gated: bool, tile_n: int = 256,
+                           gated: bool, tile_n: int = 1024,
                            interpret: bool = False):
+    """tile_n=1024 measured best on the v5e at training batch sizes
+    (B=32: 7.25k vs 6.93k bags/s at tile 256, same session; 2048
+    overflows VMEM — the block + f32 intermediates + dh exceed 16 MB)."""
     B, N, D = h.shape
     Da = params.Wa.shape[1]
     tn = min(tile_n, _round_up(N, 128))
