@@ -500,6 +500,10 @@ def _attention_pool_bwd(gated, res, g):
     dh, dparams_c = vjp(g.astype(primal.dtype))
     dparams = jax.tree.map(lambda dp, p: dp.astype(p.dtype), dparams_c,
                            params)
+    # dcc = sum(ds) is analytically 0 (softmax logit-shift invariance);
+    # autodiff leaves f32 cancellation noise that Adam would normalize
+    # into a full-size step — keep the exact zero like the fused kernel
+    dparams = dparams._replace(cc=jnp.zeros_like(dparams.cc))
     return dh, None, dparams
 
 

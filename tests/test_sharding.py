@@ -204,14 +204,9 @@ def test_bag_shard_training_step_matches_unsharded(rng):
     loss_u, p_u = results[False]
     loss_s, p_s = results[True]
     assert loss_s == pytest.approx(loss_u, rel=1e-5)
-    # cc (attention bias): softmax pooling is invariant to a logit
-    # shift, so dcc == 0 analytically.  The sharded bwd keeps the exact
-    # zero (like the fused TPU kernel); the unsharded CPU fallback's
-    # autodiff leaves f32 cancellation noise that Adam normalizes into
-    # a full-size step — exclude cc and assert the exact-zero behavior.
-    cc_s = p_s["attention_net"].pop("cc")
-    p_u["attention_net"].pop("cc")
-    np.testing.assert_array_equal(cc_s, 0.0)
+    # every param, cc included: all backward paths keep the analytic
+    # dcc == 0 (softmax logit-shift invariance), so cc stays at init
+    np.testing.assert_array_equal(p_s["attention_net"]["cc"], 0.0)
     flat_u = jax.tree.leaves(p_u)
     flat_s = jax.tree.leaves(p_s)
     for a, b in zip(flat_u, flat_s):
