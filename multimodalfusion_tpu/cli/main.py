@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "AMIL attention pooling runs as fused per-shard "
                         "partials combined with collectives (for bags "
                         "beyond one chip's HBM)")
+    p.add_argument("--bag_shard_devices", type=int, default=0,
+                   help="with --data_parallel: bag-axis size of the 2-D "
+                        "(data, bag) mesh (DP x SP composition)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace (TensorBoard/Perfetto) "
                         "and per-fold stage timings JSON here")
@@ -217,7 +220,8 @@ def main(argv=None) -> int:
             omic_input_dim=omic_dim, seed=args.seed,
             results_dir=results_dir, split_mode=args.split_mode,
             resume=args.resume, data_parallel=args.data_parallel,
-            bag_shard=args.bag_shard, tb=args.tb,
+            bag_shard=args.bag_shard,
+            bag_shard_devices=args.bag_shard_devices, tb=args.tb,
             ckpt_format=args.ckpt_format)
         with trace(args.profile_dir), timings.stage(f"fold{i}"):
             out = train_fold(splits, i, cfg, eval_only=args.eval_only)

@@ -82,6 +82,10 @@ class TrainConfig:
     # (ops/sharded_pool.py; SURVEY §5 long-context plan).  For bags too
     # large for one chip's HBM; mutually exclusive with data_parallel.
     bag_shard: bool = False
+    # with data_parallel AND bag_shard: devices per bag-axis group on
+    # the 2-D ("data", "bag") mesh (DP x SP composition); must divide
+    # the device count
+    bag_shard_devices: int = 0
     # also write tensorboard event files next to metrics.jsonl with the
     # reference's scalar tags (ref core_utils.py:31-36,261-264,337-340)
     tb: bool = False
@@ -112,17 +116,21 @@ def build_model(cfg: TrainConfig, bag_mesh=None):
     if cfg.model_type == "max_net":
         return MaxNet(model_size=cfg.model_size_omic, bag_loss=cfg.bag_loss,
                       n_classes=cfg.n_classes)
+    bag_batch_axis = ("data" if bag_mesh is not None
+                      and "data" in bag_mesh.axis_names else None)
     if cfg.model_type == "path_attention_mil":
         return PathAMIL(model_size=cfg.model_size_wsi, gate=cfg.gate_path,
                         attn_dropout=cfg.drop_out, n_classes=cfg.n_classes,
-                        compute_dtype=cfg.bag_dtype, bag_mesh=bag_mesh)
+                        compute_dtype=cfg.bag_dtype, bag_mesh=bag_mesh,
+                        bag_batch_axis=bag_batch_axis)
     if cfg.model_type == "radio_attention_mil":
         return RadioAMIL(n_modalities=len(cfg.modalities),
                          radio_fusion=cfg.radio_fusion or "concat",
                          model_size=cfg.model_size_radio,
                          gate=cfg.gate_radio, attn_dropout=cfg.drop_out,
                          n_classes=cfg.n_classes,
-                         compute_dtype=cfg.bag_dtype, bag_mesh=bag_mesh)
+                         compute_dtype=cfg.bag_dtype, bag_mesh=bag_mesh,
+                         bag_batch_axis=bag_batch_axis)
     if cfg.model_type == "mm_attention_mil":
         return MMAttentionMIL(mode=cfg.mode,
                               n_modalities=len(cfg.modalities),
@@ -396,7 +404,15 @@ def _run_epoch(cfg, split, indices, variables, opt_state, train_step,
                                reuse_collation_buffers=False))
     for batch in it:
         subject_ids = batch.pop("subject_ids")
-        if mesh is not None and "bag" in mesh.axis_names:
+        if mesh is not None and "bag" in mesh.axis_names \
+                and "data" in mesh.axis_names:
+            from multimodalfusion_tpu.parallel.mesh import (
+                pad_batch_to_devices, shard_batch_dp_bags)
+            # pad the batch axis HERE so the host-side copies used for
+            # metrics stay aligned with the sharded device batch
+            batch = pad_batch_to_devices(batch, mesh.shape["data"])
+            jbatch = shard_batch_dp_bags(batch, mesh)
+        elif mesh is not None and "bag" in mesh.axis_names:
             from multimodalfusion_tpu.parallel.mesh import shard_batch_bags
             jbatch = shard_batch_bags(batch, mesh)
         elif mesh is not None:
@@ -488,12 +504,13 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
 
     bag_mesh = None
     if cfg.bag_shard:
-        if cfg.data_parallel:
-            raise ValueError("bag_shard and data_parallel are mutually "
-                             "exclusive (one mesh axis each)")
         if cfg.model_type not in ("path_attention_mil",
                                   "radio_attention_mil"):
             raise ValueError("bag_shard applies to AMIL models only")
+        if cfg.data_parallel and not cfg.bag_shard_devices:
+            raise ValueError("bag_shard + data_parallel needs "
+                             "--bag_shard_devices (bag-axis size of the "
+                             "2-D mesh)")
         if cfg.drop_out:
             # attention-branch dropout forces the unfused jnp pooling
             # path (models/pooling.py), which would silently bypass the
@@ -504,6 +521,11 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
                              "dropout")
         if jax.device_count() < 2:
             print("bag_shard: only one device visible, running unsharded")
+        elif cfg.data_parallel:
+            from multimodalfusion_tpu.parallel.mesh import make_dp_bag_mesh
+            bag_mesh = make_dp_bag_mesh(cfg.bag_shard_devices)
+            print(f"bag_shard x data_parallel: 2-D mesh "
+                  f"{dict(bag_mesh.shape)}")
         else:
             from multimodalfusion_tpu.parallel.mesh import make_bag_mesh
             bag_mesh = make_bag_mesh()
@@ -613,7 +635,7 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         stopper.val_loss_min = float(es_state["es_val_loss_min"])
 
     mesh = None
-    if cfg.data_parallel:
+    if cfg.data_parallel and bag_mesh is None:
         if jax.device_count() < 2:
             print("data_parallel: only one device visible, running unsharded")
         else:

@@ -34,6 +34,7 @@ class PathAMIL(nn.Module):
     n_classes: int = 4
     compute_dtype: str = "float32"
     bag_mesh: object = None        # ("bag",) mesh -> sharded pooling
+    bag_batch_axis: object = None  # mesh batch axis for DP x SP
 
     @nn.compact
     def __call__(self, bags, mask, deterministic: bool = True,
@@ -45,6 +46,7 @@ class PathAMIL(nn.Module):
         pool = AttentionPool(D=size[2], gated=self.gate,
                              attn_dropout=self.attn_dropout,
                              bag_mesh=self.bag_mesh,
+                             bag_batch_axis=self.bag_batch_axis,
                              name="attention_net")
         if attention_only:
             _, attn, scores = pool(h, mask, deterministic, return_attn=True)
@@ -83,6 +85,7 @@ class RadioAMIL(nn.Module):
     n_classes: int = 4
     compute_dtype: str = "float32"
     bag_mesh: object = None        # ("bag",) mesh -> sharded pooling
+    bag_batch_axis: object = None  # mesh batch axis for DP x SP
 
     @nn.compact
     def __call__(self, bags, mask, deterministic: bool = True,
@@ -111,6 +114,7 @@ class RadioAMIL(nn.Module):
         pool = AttentionPool(D=size[2], gated=self.gate,
                              attn_dropout=self.attn_dropout,
                              bag_mesh=self.bag_mesh,
+                             bag_batch_axis=self.bag_batch_axis,
                              name="attention_net")
         if attention_only:
             _, attn, scores = pool(h, mask, deterministic, return_attn=True)

@@ -29,6 +29,9 @@ class AttentionPool(nn.Module):
     # (instance) axis (ops/sharded_pool.py) — cfg.bag_shard plumbs it
     bag_mesh: object = None
     bag_axis: str = "bag"
+    # set to the mesh's batch axis name (e.g. "data") for the DP x SP
+    # composition: batch sharded over one mesh axis, instances the other
+    bag_batch_axis: object = None
 
     @nn.compact
     def __call__(self, h, mask, deterministic: bool = True,
@@ -54,7 +57,8 @@ class AttentionPool(nn.Module):
                 from multimodalfusion_tpu.ops.sharded_pool import \
                     sharded_attention_pool
                 return sharded_attention_pool(h, mask, params, self.gated,
-                                              self.bag_mesh, self.bag_axis)
+                                              self.bag_mesh, self.bag_axis,
+                                              self.bag_batch_axis)
             pooled = mil.attention_pool(h, mask, params, self.gated)
             return pooled
 

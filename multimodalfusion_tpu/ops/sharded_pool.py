@@ -61,8 +61,9 @@ def _local_partials(h_l, mask_l, params, gated):
 
 def _combine_local(h_l, mask_l, params, gated: bool, axis: str):
     """Runs INSIDE shard_map (forward only): local fused partials +
-    collective combine.  Returns (pooled [B, D], global (m, W) [B, 2]),
-    both replicated."""
+    collective combine over the bag axis.  Returns (pooled [B_l, D],
+    global (m, W) [B_l, 2]), replicated across ``axis`` (B_l is the
+    local batch shard when a batch mesh axis is in play)."""
     out_l, m_l, l_l = _local_partials(h_l, mask_l, params, gated)
     # the max shift cancels mathematically (constants in the combine)
     m = jax.lax.pmax(m_l, axis)
@@ -72,11 +73,12 @@ def _combine_local(h_l, mask_l, params, gated: bool, axis: str):
     return out, jnp.stack([m, W], axis=1)
 
 
-def _bwd_local(h_l, mask_l, params, out, ml, g, gated: bool, axis: str):
+def _bwd_local(h_l, mask_l, params, out, ml, g, gated: bool, axes):
     """Runs INSIDE shard_map (forward only, during the outer custom
     VJP's backward): with the GLOBAL residuals (out, m, W), the fused
     backward kernel per shard IS the exact local restriction of the
-    unsharded backward — dh stays local, parameter grads psum."""
+    unsharded backward — dh stays local, parameter grads psum over
+    every mesh axis in play (bag shards AND batch shards)."""
     if mil._use_pallas():
         # the backward kernel's ml BlockSpec expects [B, 1, 2]
         dh, dparams = mil._fused_pool_bwd_pallas(h_l, mask_l, params, out,
@@ -84,7 +86,7 @@ def _bwd_local(h_l, mask_l, params, out, ml, g, gated: bool, axis: str):
     else:
         dh, dparams = mil._pool_bwd_reference(h_l, mask_l, params, out,
                                               ml, g, gated)
-    dparams = jax.tree.map(lambda x: jax.lax.psum(x, axis), dparams)
+    dparams = jax.tree.map(lambda x: jax.lax.psum(x, axes), dparams)
     return dh, dparams
 
 
@@ -92,31 +94,39 @@ def _bwd_local(h_l, mask_l, params, out, ml, g, gated: bool, axis: str):
 # shard_map forward, so no transpose-of-replicated-output semantics are
 # involved (differentiating through an out_specs=P() shard_map scales
 # cotangents by 1/mesh_size).
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _sharded_pool(h, mask, params, gated: bool, mesh: Mesh, axis: str):
-    out, _ = _sharded_pool_fwd(h, mask, params, gated, mesh, axis)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _sharded_pool(h, mask, params, gated: bool, mesh: Mesh, axis: str,
+                  batch_axis):
+    out, _ = _sharded_pool_fwd(h, mask, params, gated, mesh, axis,
+                               batch_axis)
     return out
 
 
-def _sharded_pool_fwd(h, mask, params, gated: bool, mesh: Mesh, axis: str):
+def _sharded_pool_fwd(h, mask, params, gated: bool, mesh: Mesh, axis: str,
+                      batch_axis):
+    bax = batch_axis  # None -> batch replicated (pure bag sharding)
     fn = jax.shard_map(
         functools.partial(_combine_local, gated=gated, axis=axis),
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis), P()),
-        out_specs=(P(), P()),
+        in_specs=(P(bax, axis, None), P(bax, axis), P()),
+        out_specs=(P(bax, None), P(bax, None)),
         check_vma=False,
     )
     out, ml = fn(h, mask, params)
     return out, (h, mask, params, out, ml)
 
 
-def _sharded_pool_bwd(gated: bool, mesh: Mesh, axis: str, res, g):
+def _sharded_pool_bwd(gated: bool, mesh: Mesh, axis: str, batch_axis,
+                      res, g):
     h, mask, params, out, ml = res
+    bax = batch_axis
+    axes = (bax, axis) if bax is not None else axis
     fn = jax.shard_map(
-        functools.partial(_bwd_local, gated=gated, axis=axis),
+        functools.partial(_bwd_local, gated=gated, axes=axes),
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis), P(), P(), P(), P()),
-        out_specs=(P(None, axis, None), P()),
+        in_specs=(P(bax, axis, None), P(bax, axis), P(), P(bax, None),
+                  P(bax, None), P(bax, None)),
+        out_specs=(P(bax, axis, None), P()),
         check_vma=False,
     )
     dh, dparams = fn(h, mask, params, out, ml, g)
@@ -127,10 +137,13 @@ _sharded_pool.defvjp(_sharded_pool_fwd, _sharded_pool_bwd)
 
 
 def sharded_attention_pool(h, mask, params: AttnParams, gated: bool,
-                           mesh: Mesh, axis: str = "bag"):
-    """h [B, N, D] / mask [B, N] with N sharded over ``axis``;
-    params replicated.  Returns pooled [B, D] f32 (replicated).
-    Differentiable: dh comes back sharded like h, dparams replicated.
+                           mesh: Mesh, axis: str = "bag",
+                           batch_axis=None):
+    """h [B, N, D] / mask [B, N] with N sharded over ``axis`` (and
+    optionally B over ``batch_axis`` — DP x SP composition on a 2-D
+    mesh); params replicated.  Returns pooled [B, D] f32, sharded like
+    the batch.  Differentiable: dh comes back sharded like h, dparams
+    replicated (psum over bag AND batch shards).
 
     N is padded to a mesh-size multiple with masked rows (neutral:
     mask==0 logits go to NEG_INF); jnp.pad's transpose slices dh back.
@@ -140,7 +153,7 @@ def sharded_attention_pool(h, mask, params: AttnParams, gated: bool,
     if pad:
         h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    return _sharded_pool(h, mask, params, gated, mesh, axis)
+    return _sharded_pool(h, mask, params, gated, mesh, axis, batch_axis)
 
 
 def bag_sharded_put(mesh: Mesh, axis: str = "bag"):

@@ -103,3 +103,47 @@ def shard_batch_bags(batch: dict, mesh: Mesh, axis: str = BAG_AXIS) -> dict:
         else:
             out[k] = jax.device_put(v, NamedSharding(mesh, P()))
     return out
+
+
+def make_dp_bag_mesh(bag_devices: int,
+                     n_devices: Optional[int] = None) -> Mesh:
+    """2-D ("data", "bag") mesh: batch sharded over the first axis,
+    bag instances over the second (DP x SP composition)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if n % bag_devices:
+        raise ValueError(f"{n} devices not divisible by bag_devices="
+                         f"{bag_devices}")
+    arr = np.array(devices).reshape(n // bag_devices, bag_devices)
+    return Mesh(arr, (DATA_AXIS, BAG_AXIS))
+
+
+def shard_batch_dp_bags(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a loader batch onto a ("data", "bag") mesh: bag arrays
+    [B, N, ...] sharded over both axes, per-sample arrays [B] over the
+    batch axis.  Pads B to a data-axis multiple (valid=0 rows) and N to
+    a bag-axis multiple (masked instances)."""
+    n_data = mesh.shape[DATA_AXIS]
+    n_bag = mesh.shape[BAG_AXIS]
+    batch = pad_batch_to_devices(batch, n_data)
+    out = {}
+    for k, v in batch.items():
+        if not (hasattr(v, "ndim") and v.dtype != object):
+            out[k] = v
+            continue
+        is_bag = k.endswith("_bags") or k == "bags"
+        is_mask = k.endswith("_mask") or k == "mask"
+        if (is_bag or is_mask) and v.ndim >= 2:
+            pad = (-v.shape[1]) % n_bag
+            if pad:
+                widths = [(0, 0), (0, pad)] + [(0, 0)] * (v.ndim - 2)
+                v = np.pad(v, widths)
+            spec = P(DATA_AXIS, BAG_AXIS, *([None] * (v.ndim - 2)))
+        elif v.ndim >= 1:
+            spec = P(DATA_AXIS, *([None] * (v.ndim - 1)))
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out

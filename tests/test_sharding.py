@@ -270,3 +270,96 @@ def test_bag_sharded_pool_pallas_interpret_branch(rng, monkeypatch):
         mil._pool_reference(hh, mask, params, True) ** 2))(h)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_dp_bag_2d_mesh_pool_matches_reference(rng):
+    """DP x SP composition on a ("data", "bag") 2x4 mesh: pooling and
+    gradients equal the unsharded computation."""
+    from multimodalfusion_tpu.parallel.mesh import make_dp_bag_mesh
+    B, N, D = 4, 512, 32
+    h = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+    lens = np.array([300, 512, 128, 450])
+    mask = jnp.array((np.arange(N)[None, :] < lens[:, None])
+                     .astype(np.float32))
+    params = make_attn(rng, D=D, Da=16)
+    mesh = make_dp_bag_mesh(4)
+    assert dict(mesh.shape) == {"data": 2, "bag": 4}
+    h_s = jax.device_put(h, NamedSharding(mesh, P("data", "bag", None)))
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P("data", "bag")))
+
+    out = sharded_attention_pool(h_s, mask_s, params, True, mesh,
+                                 batch_axis="data")
+    ref = mil._pool_reference(h, mask, params, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_s(hh, p):
+        return jnp.sum(sharded_attention_pool(
+            hh, mask_s, p, True, mesh, batch_axis="data") ** 2)
+
+    def loss_r(hh, p):
+        return jnp.sum(mil._pool_reference(hh, mask, p, True) ** 2)
+
+    gh_s, gp_s = jax.grad(loss_s, argnums=(0, 1))(h_s, params)
+    gh_r, gp_r = jax.grad(loss_r, argnums=(0, 1))(h, params)
+    np.testing.assert_allclose(np.asarray(gh_s), np.asarray(gh_r),
+                               rtol=1e-4, atol=1e-7)
+    for name in ("Wa", "ba", "Wb", "bb", "wc"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(gp_s, name)), np.asarray(getattr(gp_r, name)),
+            rtol=2e-4, atol=1e-6, err_msg=name)
+
+
+def test_dp_bag_2d_training_step_matches_unsharded(rng):
+    """One full PathAMIL training step on the 2x4 DP x SP mesh equals
+    the unsharded step (loss + updated params)."""
+    from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                                   make_optimizer,
+                                                   make_steps)
+    from multimodalfusion_tpu.parallel.mesh import (make_dp_bag_mesh,
+                                                    replicate_sharding,
+                                                    shard_batch_dp_bags)
+    B, N = 4, 256
+    batch = {
+        "path_bags": rng.normal(size=(B, N, 1024)).astype(np.float32),
+        "path_mask": (np.arange(N)[None, :]
+                      < np.array([200, 256, 120, 233])[:, None]).astype(
+                          np.float32),
+        "Y": rng.integers(0, 4, B).astype(np.int32),
+        "t": rng.uniform(1, 50, B).astype(np.float32),
+        "c": np.zeros(B, np.float32),
+        "valid": np.ones(B, np.float32),
+    }
+    results = {}
+    for shard in (False, True):
+        cfg = TrainConfig(model_type="path_attention_mil", mode="path",
+                          bag_loss="nll_surv", batch_size=B,
+                          drop_out=False, bag_shard=shard,
+                          data_parallel=shard, bag_shard_devices=4)
+        mesh = make_dp_bag_mesh(4) if shard else None
+        model = build_model(cfg, bag_mesh=mesh)
+        tx = make_optimizer(cfg)
+        train_step, _ = make_steps(cfg, model, tx)
+        variables = dict(model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            bags=jnp.asarray(batch["path_bags"]),
+            mask=jnp.asarray(batch["path_mask"]), deterministic=True))
+        opt_state = tx.init(variables["params"])
+        if shard:
+            repl = replicate_sharding(mesh)
+            variables = jax.device_put(variables, repl)
+            opt_state = jax.device_put(opt_state, repl)
+            jbatch = shard_batch_dp_bags(dict(batch), mesh)
+        else:
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        new_vars, _, out = train_step(variables, opt_state, jbatch,
+                                      jax.random.PRNGKey(7))
+        results[shard] = (float(out["loss"]),
+                          jax.tree.map(np.asarray, new_vars["params"]))
+
+    loss_u, p_u = results[False]
+    loss_s, p_s = results[True]
+    assert loss_s == pytest.approx(loss_u, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_u), jax.tree.leaves(p_s)):
+        np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6)
