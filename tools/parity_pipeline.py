@@ -242,6 +242,33 @@ def main(base: str) -> int:
         results, cindex, _ = _import_and_eval(cfg4, ds4, exp4, fold, 16)
         ok &= _check_fold("stage4 path-fcnn", exp4, fold, results, cindex)
 
+    # ---- stage 4, coxranking family (scalar-risk heads): the other
+    # pretrained model family as-run (ref coxranking_models_pretrained,
+    # dispatched when bag_loss lacks 'nll_surv',
+    # core_utils_pretrained.py:77-85) ----
+    _run_ref(base, "main_pretrained.py", [
+        "--k", "2", "--which_splits", "2foldcv", "--split_mode",
+        "train_val", "--task", "survival",
+        "--data_root_dir", os.path.join(base, "ref_embed"),
+        "--mode", "path", "--model_type", "path_attention_mil",
+        "--train_type", "fcnn", "--max_epochs", "20",
+        "--bag_loss", "cox_surv", "--batch_size", "16", "--seed", "0",
+        "--n_classes", "4", "--cancer_type", "brain",
+        "--results_dir", os.path.join(base, "ref_results4"),
+        "--overwrite"])
+    root4 = os.path.join(base, "ref_results4", "brain", "2foldcv")
+    exp4c = os.path.join(root4, next(
+        d for d in os.listdir(root4) if d.startswith("PATH_cox_surv")))
+    cfg4c = train_mod.TrainConfig(model_type="path_attention_mil",
+                                  mode="path", bag_loss="cox_surv",
+                                  n_classes=4, train_type="fcnn",
+                                  n_layers=1, pretrained=True,
+                                  batch_size=16, seed=0)
+    for fold in (0, 1):
+        results, cindex, _ = _import_and_eval(cfg4c, ds4, exp4c, fold, 16)
+        ok &= _check_fold("stage4 path-fcnn-cox", exp4c, fold, results,
+                          cindex)
+
     print("PIPELINE PARITY:", "ALL MATCH" if ok else "MISMATCH")
     return 0 if ok else 1
 
