@@ -430,12 +430,13 @@ def run_radio_branch(cfg_ns) -> int:
                 _, disp_ids = load_features_h5(os.path.join(
                     d.feat_dir, "radio_h5_files", display_mod,
                     f"{subject}.h5"))
-                if not sel_ids & set(int(s) for s in np.asarray(disp_ids)):
+                if disp_ids is not None and not sel_ids & set(
+                        int(s) for s in np.asarray(disp_ids).reshape(-1)):
                     print(f"skipping {subject}: no selected slice exists "
                           f"in {display_mod}")
                     continue
-            except OSError:
-                pass  # no h5 to pre-check against; preprocess and see
+            except (OSError, KeyError, TypeError, ValueError):
+                pass  # no usable h5 to pre-check; preprocess and see
             try:
                 if is_ct:
                     slices, slice_ids = preprocess_lung_scan(path)

@@ -22,7 +22,7 @@ from multimodalfusion_tpu.data.radiology import (preprocess_glioma_scan,
 from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
                                                load_checkpoint)
 from multimodalfusion_tpu.extract.features import _fit_spatial
-from multimodalfusion_tpu.interpret.gradcam import (cam_overlay, gradcam_pp,
+from multimodalfusion_tpu.interpret.gradcam import (cam_overlay,
                                                     upsample_cams)
 from multimodalfusion_tpu.models.resnet import (ResNet50Trunc,
                                                 load_torch_checkpoint,
@@ -50,6 +50,10 @@ def build_parser():
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--top_frac", type=float, default=0.1,
                    help="fraction of top-attention slices to render")
+    p.add_argument("--no_aug_smooth", action="store_true", default=False,
+                   help="disable the flip x brightness test-time "
+                        "augmentation the reference always applies "
+                        "(ref gradcam.py:105 aug_smooth=True)")
     return p
 
 
@@ -115,31 +119,36 @@ def main(argv=None) -> int:
     mod_slot = modalities.index(args.modality) if args.modality in \
         modalities else 0
 
+    def spatial_fn(imgs):
+        x = preprocess_images(imgs, center_crop=args.image_size)
+        return resnet.apply(res_vars, x, return_spatial=True)
+
+    def head_fn(act):
+        emb = jnp.mean(act, axis=(1, 2))              # [N, 1024]
+        bag = jnp.zeros((1, N, n_mod * 1024), emb.dtype)
+        bag = jax.lax.dynamic_update_slice(
+            bag, emb[None], (0, 0, mod_slot * 1024))
+        out = amil.apply(amil_vars, bags=bag, mask=mask,
+                         deterministic=True)
+        return out["risk"]
+
+    # aug_smooth mirrors the reference's GradCAMPlusPlus invocation
+    # (ref gradcam.py:105: aug_smooth=True)
+    from multimodalfusion_tpu.interpret.gradcam import gradcam_for
+    cams = gradcam_for(spatial_fn, head_fn, images,
+                       aug_smooth=not args.no_aug_smooth)
+
     @jax.jit
-    def run(images):
-        x = preprocess_images(images, center_crop=args.image_size)
-        act = resnet.apply(res_vars, x, return_spatial=True)
-
-        def head(act):
-            emb = jnp.mean(act, axis=(1, 2))          # [N, 1024]
-            bag = jnp.zeros((1, N, n_mod * 1024), emb.dtype)
-            bag = jax.lax.dynamic_update_slice(
-                bag, emb[None], (0, 0, mod_slot * 1024))
-            out = amil.apply(amil_vars, bags=bag, mask=mask,
-                             deterministic=True)
-            return out["risk"]
-
-        grads = jax.grad(lambda a: jnp.sum(head(a)))(act)
-        cams = gradcam_pp(act, grads)
+    def attn_scores(imgs):
+        act = spatial_fn(imgs)
         emb = jnp.mean(act, axis=(1, 2))
         bag = jnp.zeros((1, N, n_mod * 1024), emb.dtype)
         bag = jax.lax.dynamic_update_slice(bag, emb[None],
                                            (0, 0, mod_slot * 1024))
-        scores = amil.apply(amil_vars, bags=bag, mask=mask,
-                            deterministic=True, attention_only=True)[0]
-        return cams, scores
+        return amil.apply(amil_vars, bags=bag, mask=mask,
+                          deterministic=True, attention_only=True)[0]
 
-    cams, scores = run(images)
+    scores = attn_scores(images)
     cams = np.asarray(cams)
     scores = np.asarray(scores)
     attn = np.exp(scores - scores.max())

@@ -54,12 +54,17 @@ def build_parser():
 
 def _fold_frames(pkls):
     frames = []
+    needed = ("subject_id", "risk", "survival", "censorship")
     for p in pkls:
         res = load_pkl(p)
-        cols = {k: np.asarray(v) for k, v in res.items()
-                if k in ("subject_id", "risk", "survival", "censorship")}
-        if "risk" in cols and len(cols.get("subject_id", [])):
+        cols = {k: np.asarray(v) for k, v in res.items() if k in needed}
+        # pool_folds_by_subject indexes every column unconditionally —
+        # skip partial/old-format pkls instead of aborting the report
+        if all(k in cols for k in needed) and len(cols["subject_id"]):
             frames.append(pd.DataFrame(cols))
+        else:
+            print(f"skipping {p}: missing "
+                  f"{sorted(set(needed) - set(cols))}")
     return frames
 
 

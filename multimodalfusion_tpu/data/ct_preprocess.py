@@ -36,8 +36,7 @@ def load_scan(path: str):
         slices = [pydicom.dcmread(os.path.join(path, n)) for n in names]
     except ImportError:
         from multimodalfusion_tpu.data import dicom as native_dicom
-        slices = [native_dicom.read_file(os.path.join(path, n))
-                  for n in names]
+        slices = native_dicom.read_series(path)  # z-sorted already
     slices.sort(key=lambda s: float(s.ImagePositionPatient[2]))
     thickness = abs(slices[0].ImagePositionPatient[2]
                     - slices[1].ImagePositionPatient[2])

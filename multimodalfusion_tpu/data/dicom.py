@@ -98,24 +98,51 @@ def _parse_value(vr: str, raw: bytes):
     return raw
 
 
-def _skip_undefined_sequence(buf: bytes, pos: int) -> int:
-    """Skip an undefined-length SQ/item region: walk items until the
-    sequence delimitation item (FFFE, E0DD)."""
-    depth = 1
-    while pos + 8 <= len(buf) and depth > 0:
-        group, elem, length = struct.unpack("<HHI", buf[pos:pos + 8])
-        pos += 8
+def _elem_header(buf: bytes, pos: int, explicit: bool):
+    """Parse one data-element header -> (group, elem, vr, length, vpos).
+    Item/delimiter tags (group FFFE) always use the implicit 4-byte
+    length layout regardless of the dataset's transfer syntax."""
+    group, elem = struct.unpack("<HH", buf[pos:pos + 4])
+    if group == 0xFFFE or not explicit:
+        length = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        vr_s = _TAGS.get((group, elem), ("", "UN"))[1]
+        return group, elem, vr_s, length, pos + 8
+    vr = buf[pos + 4:pos + 6]
+    if vr in _LONG_VRS:
+        length = struct.unpack("<I", buf[pos + 8:pos + 12])[0]
+        return group, elem, vr.decode("ascii", "ignore"), length, pos + 12
+    length = struct.unpack("<H", buf[pos + 6:pos + 8])[0]
+    return group, elem, vr.decode("ascii", "ignore"), length, pos + 8
+
+
+def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
+    """Skip an undefined-length sequence VALUE: a stream of items
+    (FFFE,E000) ending at the sequence delimiter (FFFE,E0DD).
+    Defined-length items skip by length; undefined-length items contain
+    ordinary data elements (parsed with ``_elem_header``, recursing for
+    nested undefined-length sequences) until their item delimiter
+    (FFFE,E00D)."""
+    n = len(buf)
+    while pos + 8 <= n:
+        group, elem, _, length, vpos = _elem_header(buf, pos, explicit)
         if (group, elem) == (0xFFFE, 0xE0DD):      # sequence delimiter
-            depth -= 1
-        elif (group, elem) == (0xFFFE, 0xE000):    # item
-            if length == 0xFFFFFFFF:
-                depth += 1                          # undefined-length item
-            else:
-                pos += length
-        elif (group, elem) == (0xFFFE, 0xE00D):    # item delimiter
-            depth -= 1 if depth > 1 else 0
-        else:
-            raise ValueError("malformed undefined-length sequence")
+            return vpos
+        if (group, elem) != (0xFFFE, 0xE000):
+            raise ValueError(
+                f"expected an item tag inside a sequence, got "
+                f"({group:04x},{elem:04x})")
+        if length != 0xFFFFFFFF:
+            pos = vpos + length                     # defined-length item
+            continue
+        # undefined-length item: walk its dataset elements
+        pos = vpos
+        while pos + 8 <= n:
+            g2, e2, _, l2, v2 = _elem_header(buf, pos, explicit)
+            if (g2, e2) == (0xFFFE, 0xE00D):        # item delimiter
+                pos = v2
+                break
+            pos = _skip_sequence(buf, v2, explicit) \
+                if l2 == 0xFFFFFFFF else v2 + l2
     return pos
 
 
@@ -123,28 +150,16 @@ def _walk(buf: bytes, pos: int, explicit: bool, stop_group=None):
     """Yield (group, elem, vr, raw_value, next_pos) element stream."""
     n = len(buf)
     while pos + 8 <= n:
-        group, elem = struct.unpack("<HH", buf[pos:pos + 4])
+        group = struct.unpack("<H", buf[pos:pos + 2])[0]
         if stop_group is not None and group != stop_group:
             return
-        if explicit:
-            vr = buf[pos + 4:pos + 6]
-            if vr in _LONG_VRS:
-                length = struct.unpack("<I", buf[pos + 8:pos + 12])[0]
-                vpos = pos + 12
-            else:
-                length = struct.unpack("<H", buf[pos + 6:pos + 8])[0]
-                vpos = pos + 8
-            vr_s = vr.decode("ascii", "ignore")
-        else:
-            length = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
-            vpos = pos + 8
-            vr_s = _TAGS.get((group, elem), ("", "UN"))[1]
+        group, elem, vr_s, length, vpos = _elem_header(buf, pos, explicit)
         if length == 0xFFFFFFFF:
             if vr_s not in ("SQ", "UN", "OW", "OB"):
                 raise ValueError(
                     f"undefined length on VR {vr_s} at tag "
                     f"({group:04x},{elem:04x})")
-            end = _skip_undefined_sequence(buf, vpos)
+            end = _skip_sequence(buf, vpos, explicit)
             yield group, elem, vr_s, None, end
             pos = end
             continue
@@ -204,8 +219,9 @@ def read_series(path: str) -> List[DicomSlice]:
 # ---------------------------------------------------------------------------
 
 def _enc_element(group: int, elem: int, vr: str, value: bytes) -> bytes:
+    # PS3.5 padding: text VRs pad with space, UI (and binary) with NUL
     if len(value) % 2:
-        value += b"\x00" if vr not in ("DS", "IS", "CS", "UI") else b" "
+        value += b" " if vr in ("DS", "IS", "CS") else b"\x00"
     head = struct.pack("<HH", group, elem)
     if vr.encode() in _LONG_VRS:
         return head + vr.encode() + b"\x00\x00" + struct.pack(
@@ -231,8 +247,7 @@ def write_ct_slice(path: str, pixels: np.ndarray, z: float,
     if implicit:
         def enc(group, elem, vr, value):
             if len(value) % 2:
-                value += b"\x00" if vr not in ("DS", "IS", "CS", "UI") \
-                    else b" "
+                value += b" " if vr in ("DS", "IS", "CS") else b"\x00"
             return struct.pack("<HHI", group, elem, len(value)) + value
     else:
         enc = _enc_element

@@ -236,40 +236,6 @@ def _in_holes(holes, pt, patch_size) -> bool:
                for h in holes)
 
 
-def points_in_contour(contour, pts: np.ndarray) -> np.ndarray:
-    """Vectorized cv2.pointPolygonTest(measureDist=False) over many
-    points: returns int8 [M] of +1 (inside), 0 (on edge), -1 (outside).
-
-    Exact replica of OpenCV's crossing-number walk (geometry.cpp), so
-    boundary/vertex cases agree with the per-point oracle bit-for-bit —
-    tests/test_wsi.py fuzzes this against cv2 directly.  O(points x
-    edges): general-purpose utility; the patch-coordinate generator
-    uses the O(E + X log E) scanline ``_polygon_row_test`` instead."""
-    v = np.asarray(contour, np.float64).reshape(-1, 2)
-    x, y = np.asarray(pts, np.float64).T
-    v0 = np.roll(v, 1, axis=0)       # edge (v0 -> v1), closing edge incl.
-    v0x, v0y = v0[:, 0][:, None], v0[:, 1][:, None]
-    v1x, v1y = v[:, 0][:, None], v[:, 1][:, None]
-    px, py = x[None, :], y[None, :]
-
-    # edges skipped by the crossing test: both endpoints on one side of
-    # the horizontal ray, or entirely left of the point
-    skip = (((v0y <= py) & (v1y <= py)) | ((v0y > py) & (v1y > py))
-            | ((v0x < px) & (v1x < px)))
-    # on-edge checks cv2 performs inside the skip branch (horizontal
-    # edges / vertex coincidence)
-    on_h = (py == v1y) & ((px == v1x)
-                          | ((py == v0y)
-                             & (((v0x <= px) & (px <= v1x))
-                                | ((v1x <= px) & (px <= v0x)))))
-    cross = (py - v0y) * (v1x - v0x) - (px - v0x) * (v1y - v0y)
-    dist = np.where(v1y < v0y, -cross, cross)
-    on_edge = ((skip & on_h) | (~skip & (cross == 0.0))).any(axis=0)
-    counter = (~skip & (dist > 0.0)).sum(axis=0)
-    out = np.where(counter % 2 == 1, 1, -1).astype(np.int8)
-    return np.where(on_edge, np.int8(0), out)
-
-
 def _polygon_row_test(contour, y: float, qx: np.ndarray) -> np.ndarray:
     """cv2.pointPolygonTest semantics for all points (qx[i], y) on one
     horizontal row in O(E + X log E): crossing parity against the

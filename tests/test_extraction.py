@@ -412,3 +412,59 @@ def test_preprocess_lung_scan_from_native_dicom(tmp_path):
         vol_hu.astype(np.int16), (2.0, 1.5, 1.5))
     np.testing.assert_array_equal(ids, want_ids)
     np.testing.assert_allclose(slices, want_slices, atol=1e-6)
+
+
+def test_native_dicom_undefined_length_items(tmp_path):
+    """Sequences whose ITEMS are themselves undefined-length (common in
+    vendor Referenced Image Sequences) contain ordinary data elements
+    and must be skipped structurally, including nesting."""
+    import struct
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    p = str(tmp_path / "u.dcm")
+    dicom.write_ct_slice(p, vol[0], z=3.0)
+    raw = open(p, "rb").read()
+    head, body = raw[:132], raw[132:]
+    pos = 0
+    while struct.unpack("<H", body[pos:pos + 2])[0] == 0x0002:
+        vr = body[pos + 4:pos + 6]
+        if vr in dicom._LONG_VRS:
+            ln = struct.unpack("<I", body[pos + 8:pos + 12])[0]
+            pos += 12 + ln
+        else:
+            ln = struct.unpack("<H", body[pos + 6:pos + 8])[0]
+            pos += 8 + ln
+    # SQ (undef length) -> item (undef length) -> {a short element,
+    # a nested SQ (undef length) -> item (defined)} -> delimiters
+    inner_sq = (struct.pack("<HH", 0x0008, 0x9215) + b"SQ\x00\x00"
+                + struct.pack("<I", 0xFFFFFFFF)
+                + struct.pack("<HHI", 0xFFFE, 0xE000, 6) + b"zzzzzz"
+                + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    item_ds = (struct.pack("<HH", 0x0008, 0x1150) + b"UI"
+               + struct.pack("<H", 4) + b"1.2\x00"
+               + inner_sq)
+    sq = (struct.pack("<HH", 0x0008, 0x1140) + b"SQ\x00\x00"
+          + struct.pack("<I", 0xFFFFFFFF)
+          + struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF)
+          + item_ds
+          + struct.pack("<HHI", 0xFFFE, 0xE00D, 0)
+          + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    patched = head + body[:pos] + sq + body[pos:]
+    p2 = str(tmp_path / "u2.dcm")
+    open(p2, "wb").write(patched)
+    s = dicom.read_file(p2)
+    np.testing.assert_array_equal(s.pixel_array, vol[0])
+    assert s.ImagePositionPatient[2] == 3.0
+
+
+def test_native_dicom_ui_pads_with_nul(tmp_path):
+    """PS3.5: UI values pad to even length with NUL, not space."""
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    p = str(tmp_path / "pad.dcm")
+    dicom.write_ct_slice(p, vol[0], z=0.0)
+    raw = open(p, "rb").read()
+    ts = dicom.EXPLICIT_VR_LE.encode()
+    padded = ts + (b"\x00" if len(ts) % 2 else b"")
+    assert padded in raw
+    assert ts + b" " not in raw

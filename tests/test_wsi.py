@@ -212,28 +212,6 @@ def test_create_patches_preset(tmp_path):
     assert ag.iloc[0]["a_t"] == 0.5 and ag.iloc[0]["n_patches"] > 0
 
 
-def test_points_in_contour_fuzz_vs_cv2():
-    """Vectorized point-in-polygon must agree with cv2.pointPolygonTest
-    bit-for-bit, including on-edge (0) cases."""
-    import cv2
-    rng = np.random.default_rng(0)
-    for trial in range(5):
-        n_v = int(rng.integers(3, 12))
-        verts = rng.integers(0, 200, size=(n_v, 1, 2)).astype(np.int32)
-        pts = rng.integers(-20, 220, size=(400, 2)).astype(np.float64)
-        # force exact boundary hits: vertices + edge midpoints
-        pts = np.concatenate([pts, verts.reshape(-1, 2).astype(float),
-                              (verts.reshape(-1, 2)
-                               + np.roll(verts.reshape(-1, 2), 1, 0))
-                              / 2.0])
-        want = np.array([int(np.sign(cv2.pointPolygonTest(
-            verts, (float(x), float(y)), False))) for x, y in pts],
-            np.int8)
-        got = wsi.points_in_contour(verts, pts)
-        np.testing.assert_array_equal(got, want,
-                                      err_msg=f"trial {trial}")
-
-
 def test_vectorized_coords_match_per_point_oracle(slide):
     """contour_patch_coords (vectorized sweep) must produce EXACTLY the
     coords of the per-point oracle path on real segmented contours, for
