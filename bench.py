@@ -69,7 +69,7 @@ def _sync(jax, tree):
     return tree
 
 
-def bench_batched(setup, iters=100):
+def bench_batched(setup, iters=50):
     """Per-dispatch chained steps (each step separately dispatched).
     Through the axon relay every dispatch adds a multi-ms gap a real
     (PCIe-attached) host doesn't have, so this UNDERSTATES the chip."""
@@ -84,7 +84,7 @@ def bench_batched(setup, iters=100):
     v, o, _ = train_step(v0, o0, jbatch, key)
     _sync(jax, v)
     best = 0.0
-    for _ in range(3):  # best-of-3: the tunnel-attached chip is noisy
+    for _ in range(2):  # best-of-2: the tunnel-attached chip is noisy
         t0 = time.perf_counter()
         for i in range(iters):
             v, o, out = train_step(v, o, jbatch, jax.random.fold_in(key, i))
@@ -93,7 +93,7 @@ def bench_batched(setup, iters=100):
     return best
 
 
-def bench_batched_ingraph(setup, iters=100):
+def bench_batched_ingraph(setup, iters=50):
     """Steady-state device throughput: the same train steps chained
     inside ONE jitted fori_loop (single dispatch).  On a real host the
     async dispatch queue hides per-step launch latency, so this is the
