@@ -350,3 +350,72 @@ def test_tb_event_export(cohort):
     want = [r["train_loss"] for r in recs]
     got = [v for _, v in sorted(tags["train/loss_surv"])]
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_resume_after_hard_kill(cohort):
+    """Elastic recovery: SIGKILL the training PROCESS mid-run (no
+    graceful shutdown), then --resume completes the fold with a
+    monotone epoch sequence and a final summary."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    res_dir = cohort / "results_kill"
+    common = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+              "--k", "1", "--k_end", "1", "--model_type", "max_net",
+              "--mode", "omic", "--bag_loss", "cox_surv",
+              "--batch_size", "16", "--lr", "1e-3",
+              "--data_root_dir", str(cohort / "features"),
+              "--dataset_root", str(cohort / "dataset_csv"),
+              "--splits_root", str(cohort / "splits"),
+              "--results_dir", str(res_dir), "--overwrite"]
+    env = dict(os.environ)
+    # the subprocess needs the repo on its path, and CPU must be forced
+    # through jax.config BEFORE any device use (this image's
+    # sitecustomize registers the TPU plugin and ignores JAX_PLATFORMS)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    boot = ("import jax, sys; "
+            "jax.config.update('jax_platforms', 'cpu'); "
+            "from multimodalfusion_tpu.cli.main import main; "
+            "sys.exit(main(sys.argv[1:]))")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", boot]
+        + common + ["--max_epochs", "500"], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        log = None
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            cand = list(res_dir.glob("brain/2foldcv/*/0/metrics.jsonl"))
+            if cand and len(cand[0].read_text().splitlines()) >= 3:
+                log = cand[0]
+                break
+            _time.sleep(1.0)
+        assert log is not None, "training never reached epoch 3"
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+
+    killed_epochs = [json.loads(l)["epoch"]
+                     for l in log.read_text().splitlines()]
+    assert killed_epochs[:3] == [0, 1, 2]
+    exp = log.parent.parent
+    assert (exp / "s_0_resume.msgpack").exists()
+    assert not (exp / "summary.csv").exists()  # died before finishing
+
+    last = killed_epochs[-1]
+    target = last + 4
+    assert cli_main(common + ["--max_epochs", str(target),
+                              "--resume"]) == 0
+    epochs = [json.loads(l)["epoch"]
+              for l in log.read_text().splitlines()]
+    # resume continues at most one epoch back (the bundle is written
+    # after each epoch); no restart from 0, strict progression to done
+    assert epochs[:len(killed_epochs)] == killed_epochs
+    tail = epochs[len(killed_epochs):]
+    assert tail and tail[0] in (last, last + 1)
+    assert tail == list(range(tail[0], target))
+    assert (exp / "summary.csv").exists()
