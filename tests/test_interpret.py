@@ -502,7 +502,7 @@ def test_all_clis_expose_help():
     for m in ("main", "main_pretrained", "eval_pretrained",
               "pre_trained_feature", "feature_extraction",
               "extract_features_fp", "create_patches", "create_heatmaps",
-              "create_attributions", "gradcam", "summarize"):
+              "create_attributions", "gradcam", "summarize", "infer"):
         mod = importlib.import_module(f"multimodalfusion_tpu.cli.{m}")
         assert mod.build_parser().format_help()
 

@@ -419,3 +419,48 @@ def test_resume_after_hard_kill(cohort):
     assert tail and tail[0] in (last, last + 1)
     assert tail == list(range(tail[0], target))
     assert (exp / "summary.csv").exists()
+
+
+def test_infer_cli_scores_unlabeled_subjects(cohort):
+    """Serving path: cli.infer scores a cohort CSV WITHOUT labels; for
+    subjects the fold validated, the risks match the training run's
+    results pkl (same minloss checkpoint, same train-fit scaler)."""
+    import json
+    from multimodalfusion_tpu.cli.infer import main as infer_main
+    common = ["--cancer_type", "brain", "--which_splits", "2foldcv",
+              "--k", "1", "--k_end", "1", "--model_type", "max_net",
+              "--mode", "omic", "--bag_loss", "cox_surv",
+              "--batch_size", "16", "--lr", "1e-3", "--max_epochs", "5",
+              "--data_root_dir", str(cohort / "features"),
+              "--dataset_root", str(cohort / "dataset_csv"),
+              "--splits_root", str(cohort / "splits"),
+              "--results_dir", str(cohort / "results_infer"),
+              "--overwrite"]
+    assert cli_main(common) == 0
+    exp = next((cohort / "results_infer" / "brain" / "2foldcv").iterdir())
+
+    # label-free cohort: original genomics + two NEW subjects, labels
+    # stripped entirely
+    df = pd.read_csv(cohort / "dataset_csv" / "brain" / "survival.csv")
+    gcols = [c for c in df.columns if "_mut" in c or "_cnv" in c]
+    rng = np.random.default_rng(0)
+    new = pd.DataFrame({"subject_id": ["NEW000", "NEW001"],
+                        **{c: rng.normal(size=2) for c in gcols}})
+    unlabeled = pd.concat(
+        [df[["subject_id"] + gcols], new], ignore_index=True)
+    un_csv = cohort / "unlabeled.csv"
+    unlabeled.to_csv(un_csv, index=False)
+
+    out_csv = cohort / "risks.csv"
+    assert infer_main(["--model_path", str(exp), "--which_k", "0",
+                       "--csv", str(un_csv), "--out", str(out_csv)]) == 0
+    risks = pd.read_csv(out_csv).set_index("subject_id")
+    assert len(risks) == len(unlabeled)
+    assert {"NEW000", "NEW001"} <= set(risks.index)
+    assert np.isfinite(risks["risk"]).all()
+
+    res = load_pkl(str(exp / "split_train_val_0_results.pkl"))
+    want = dict(zip(res["subject_id"], np.asarray(res["risk"], float)))
+    got = risks["risk"].to_dict()
+    for sid, r in want.items():
+        assert got[sid] == pytest.approx(r, rel=1e-4), sid
