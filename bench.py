@@ -93,7 +93,7 @@ def bench_batched(setup, iters=50):
     return best
 
 
-def bench_batched_ingraph(setup, iters=50):
+def bench_batched_ingraph(setup, iters=100):
     """Steady-state device throughput: the same train steps chained
     inside ONE jitted fori_loop (single dispatch).  On a real host the
     async dispatch queue hides per-step launch latency, so this is the

@@ -119,9 +119,16 @@ def main(argv=None) -> int:
     mod_slot = modalities.index(args.modality) if args.modality in \
         modalities else 0
 
-    def spatial_fn(imgs):
-        x = preprocess_images(imgs, center_crop=args.image_size)
-        return resnet.apply(res_vars, x, return_spatial=True)
+    # normalize ONCE: the reference's aug_smooth multiplies the already
+    # ImageNet-normalized input tensor (pytorch-grad-cam tta.Multiply on
+    # input_tensor, ref gradcam.py:105), so the augmentation must land
+    # AFTER preprocessing, i.e. spatial_fn must not renormalize
+    x_norm = jax.jit(
+        lambda im: preprocess_images(im, center_crop=args.image_size))(
+            images)
+
+    def spatial_fn(xn):
+        return resnet.apply(res_vars, xn, return_spatial=True)
 
     def head_fn(act):
         emb = jnp.mean(act, axis=(1, 2))              # [N, 1024]
@@ -133,14 +140,16 @@ def main(argv=None) -> int:
         return out["risk"]
 
     # aug_smooth mirrors the reference's GradCAMPlusPlus invocation
-    # (ref gradcam.py:105: aug_smooth=True)
+    # (ref gradcam.py:105: aug_smooth=True).  The extra unaugmented
+    # spatial pass for the attention scores is 1 of 7 total passes with
+    # aug_smooth on — not worth complicating gradcam_for's API over.
     from multimodalfusion_tpu.interpret.gradcam import gradcam_for
-    cams = gradcam_for(spatial_fn, head_fn, images,
+    cams = gradcam_for(spatial_fn, head_fn, x_norm,
                        aug_smooth=not args.no_aug_smooth)
 
     @jax.jit
-    def attn_scores(imgs):
-        act = spatial_fn(imgs)
+    def attn_scores(xn):
+        act = spatial_fn(xn)
         emb = jnp.mean(act, axis=(1, 2))
         bag = jnp.zeros((1, N, n_mod * 1024), emb.dtype)
         bag = jax.lax.dynamic_update_slice(bag, emb[None],
@@ -148,7 +157,7 @@ def main(argv=None) -> int:
         return amil.apply(amil_vars, bags=bag, mask=mask,
                           deterministic=True, attention_only=True)[0]
 
-    scores = attn_scores(images)
+    scores = attn_scores(x_norm)
     cams = np.asarray(cams)
     scores = np.asarray(scores)
     attn = np.exp(scores - scores.max())

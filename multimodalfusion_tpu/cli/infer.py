@@ -25,7 +25,7 @@ import pandas as pd
 
 from multimodalfusion_tpu.data.loaders import iter_batches, usable_indices
 from multimodalfusion_tpu.data.survival_dataset import Split, SurvivalDataset
-from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+from multimodalfusion_tpu.engine.train import (build_model,
                                                load_checkpoint,
                                                model_inputs)
 from multimodalfusion_tpu.utils.experiment import read_settings
@@ -52,25 +52,16 @@ def build_parser():
 
 def _with_placeholder_labels(csv_path: str, tmpdir: str) -> str:
     """The dataset layer bins labels at load time; inference cohorts may
-    not have any.  Neutral placeholders keep the machinery happy — the
-    forward pass never reads them."""
+    lack them, carry all-censored cohorts, or have tied survival values
+    — any of which breaks quantile binning.  The forward pass never
+    reads labels, so ALWAYS replace them with synthetic well-spread
+    placeholders (distinct times, all events, all train)."""
     df = pd.read_csv(csv_path, low_memory=False)
-    changed = False
-    if "survival_months" not in df.columns:
-        # distinct values so quantile binning has unique edges
-        df["survival_months"] = np.arange(1.0, len(df) + 1.0)
-        changed = True
-    if "censorship" not in df.columns:
-        df["censorship"] = 0.0  # "events" so the binning has support
-        changed = True
-    if "train" not in df.columns:
-        df["train"] = 1
-        changed = True
+    df["survival_months"] = np.arange(1.0, len(df) + 1.0)
+    df["censorship"] = 0.0
+    df["train"] = 1
     if "slide_id" not in df.columns:
         df["slide_id"] = df["subject_id"].astype(str) + ".svs"
-        changed = True
-    if not changed:
-        return csv_path
     out = os.path.join(tmpdir, "infer_cohort.csv")
     df.to_csv(out, index=False)
     return out
@@ -111,24 +102,20 @@ def main(argv=None) -> int:
             if list(tr.genomic_cols) != list(whole.genomic_cols):
                 diff = sorted(set(tr.genomic_cols)
                               ^ set(whole.genomic_cols))
-                raise ValueError(
-                    f"genomic columns differ from training: {diff}")
+                if diff:
+                    raise ValueError(
+                        f"genomic columns differ from training: {diff}")
+                # same set, different order: the scaler AND the model
+                # input are positional — reindex to the training order
+                whole.genomic_cols = list(tr.genomic_cols)
+                whole.genomic_features = whole.df[
+                    whole.genomic_cols].to_numpy(dtype=np.float64,
+                                                 na_value=np.nan)
             whole.apply_scaler(tr.get_scaler())
 
-        cfg = TrainConfig(
-            model_type=settings["model_type"], mode=mode,
-            modalities=tuple(settings["radio_modality"]),
-            n_classes=settings["n_classes"],
-            bag_loss=settings["bag_loss"],
-            model_size_wsi=settings.get("model_size_wsi", "small"),
-            model_size_radio=settings.get("model_size_radio", "small"),
-            model_size_omic=settings.get("model_size_omic", "small"),
-            radio_fusion=settings.get("radio_fusion") or "concat",
-            gate_path=settings.get("gate_path", True),
-            gate_radio=settings.get("gate_radio", True),
-            train_type=settings.get("train_type"),
-            n_layers=settings.get("n_layers", 1), pretrained=pretrained,
-            batch_size=args.batch_size, seed=settings["seed"])
+        from multimodalfusion_tpu.utils.experiment import \
+            config_from_settings
+        cfg = config_from_settings(settings, batch_size=args.batch_size)
         model = build_model(cfg)
 
         idx = usable_indices(whole)

@@ -180,6 +180,7 @@ def main(argv=None) -> int:
         "alpha_surv": args.alpha_surv,
         "reg_type": args.reg_type, "lambda_reg": args.lambda_reg,
         "gate_path": args.gate_path, "gate_radio": args.gate_radio,
+        "gate_omic": args.gate_omic,
         "early_stopping": args.early_stopping,
     }
     write_settings(results_dir, exp_code, settings)

@@ -368,9 +368,16 @@ class EarlyStopping:
 def save_checkpoint(path: str, variables, interop_spec=None) -> None:
     """Write the flax msgpack checkpoint plus, when an interop spec is
     given, a reference-shaped .pt side-export (ref s_{k}_*.pt names,
-    core_utils.py:152-159) covering every model build_model can make."""
-    with open(path, "wb") as f:
+    core_utils.py:152-159) covering every model build_model can make.
+
+    The write is ATOMIC (tmp file + os.replace): a kill landing
+    mid-serialization must not leave a truncated checkpoint — the
+    resume bundle in particular is the crash-recovery path, and a
+    corrupt bundle would break --resume permanently."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(variables))
+    os.replace(tmp, path)
     if interop_spec is not None:
         try:
             from multimodalfusion_tpu.utils.torch_interop import export_pt
@@ -626,6 +633,22 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         rng = jnp.asarray(bundle["rng"])
         es_state = bundle
         print(f"resuming fold {cur} from epoch {start_epoch}")
+        # a SIGKILL can truncate the last metrics line or leave lines
+        # from an epoch newer than the bundle — keep only parseable
+        # records below the resume point so the log stays one clean
+        # line per epoch
+        if os.path.exists(log_path):
+            kept = []
+            for line in open(log_path).read().splitlines():
+                try:
+                    if json.loads(line)["epoch"] < start_epoch:
+                        kept.append(line)
+                except (json.JSONDecodeError, KeyError):
+                    pass
+            tmp = log_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("".join(l + "\n" for l in kept))
+            os.replace(tmp, log_path)
     if stopper is not None and es_state is not None \
             and int(es_state.get("es_has_best", 0)):
         # restore the stopper so resume cannot clobber the saved best

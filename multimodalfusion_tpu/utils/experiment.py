@@ -69,6 +69,42 @@ def read_settings(path: str) -> dict:
         return ast.literal_eval(f.read())
 
 
+def config_from_settings(settings: dict, **overrides):
+    """Hydrate a TrainConfig from an experiment settings dict — the
+    SINGLE source for the settings-txt -> config mapping (several CLIs
+    previously hand-rolled partial copies, each silently dropping a
+    different key subset).  ``pretrained`` is inferred from train_type
+    unless overridden; pass overrides for CLI-level knobs
+    (batch_size, results_dir, ...)."""
+    from multimodalfusion_tpu.engine.train import TrainConfig
+    pretrained = bool(settings.get("train_type"))
+    kwargs = dict(
+        model_type=settings["model_type"], mode=settings["mode"],
+        modalities=tuple(settings["radio_modality"]),
+        n_classes=settings["n_classes"],
+        bag_loss=settings["bag_loss"],
+        alpha_surv=settings.get("alpha_surv", 0.0),
+        nll_ratio=settings.get("nll_ratio", 0.2),
+        model_size_wsi=settings.get("model_size_wsi", "small"),
+        model_size_radio=settings.get("model_size_radio", "small"),
+        model_size_omic=settings.get("model_size_omic", "small"),
+        fusion=settings.get("fusion"),
+        radio_fusion=settings.get("radio_fusion") or "concat",
+        gate=settings.get("gate_omic", False),
+        gate_path=settings.get("gate_path", True),
+        gate_radio=settings.get("gate_radio", True),
+        drop_out=settings.get("use_drop_out", False),
+        train_type=settings.get("train_type"),
+        n_layers=settings.get("n_layers", 1),
+        pretrained=pretrained,
+        batch_size=settings.get("batch_size", 1),
+        seed=settings["seed"],
+        split_mode=settings.get("split_mode", "train_val"),
+    )
+    kwargs.update(overrides)
+    return TrainConfig(**kwargs)
+
+
 def find_settings(results_dir: str) -> Optional[str]:
     for name in sorted(os.listdir(results_dir)):
         if name.startswith("experiment_") and name.endswith(".txt"):

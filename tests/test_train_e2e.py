@@ -412,12 +412,10 @@ def test_resume_after_hard_kill(cohort):
                               "--resume"]) == 0
     epochs = [json.loads(l)["epoch"]
               for l in log.read_text().splitlines()]
-    # resume continues at most one epoch back (the bundle is written
-    # after each epoch); no restart from 0, strict progression to done
-    assert epochs[:len(killed_epochs)] == killed_epochs
-    tail = epochs[len(killed_epochs):]
-    assert tail and tail[0] in (last, last + 1)
-    assert tail == list(range(tail[0], target))
+    # resume prunes any post-bundle/truncated lines and continues, so
+    # the final log is exactly one clean record per epoch — no restart
+    # from 0, no duplicates, every line parseable
+    assert epochs == list(range(target))
     assert (exp / "summary.csv").exists()
 
 
