@@ -16,7 +16,7 @@ import pandas as pd
 
 from multimodalfusion_tpu.data.loaders import iter_batches
 from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
-from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+from multimodalfusion_tpu.engine.train import (build_model,
                                                load_checkpoint,
                                                model_inputs)
 from multimodalfusion_tpu.interpret.ig import integrated_gradients
@@ -50,13 +50,9 @@ def main(argv=None) -> int:
         label_col="survival_months", seed=settings["seed"],
         pretrained=True)
 
-    cfg = TrainConfig(
-        model_type=settings["model_type"], mode=mode,
-        modalities=tuple(settings["radio_modality"]),
-        n_classes=settings["n_classes"], bag_loss=settings["bag_loss"],
-        batch_size=args.batch_size, seed=settings["seed"],
-        train_type=settings.get("train_type"),
-        n_layers=settings.get("n_layers", 1), pretrained=True)
+    from multimodalfusion_tpu.utils.experiment import config_from_settings
+    cfg = config_from_settings(settings, batch_size=args.batch_size,
+                               pretrained=True)
     model = build_model(cfg)
 
     all_attr, all_attr_orig = [], []

@@ -35,7 +35,7 @@ from multimodalfusion_tpu.data.io import ensure_dir, load_features_h5
 from multimodalfusion_tpu.data.loaders import iter_batches, usable_indices
 from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
 from multimodalfusion_tpu.data import wsi as wsi_mod
-from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+from multimodalfusion_tpu.engine.train import (build_model,
                                                load_checkpoint,
                                                model_inputs)
 from multimodalfusion_tpu.interpret.heatmaps import (draw_heatmap,
@@ -64,17 +64,8 @@ def _load_model(model_args, batch_template, which_k=0):
     exp_code = os.path.basename(os.path.normpath(model_args.ckpt_path))
     settings = read_settings(os.path.join(
         model_args.ckpt_path, f"experiment_{exp_code}.txt"))
-    cfg = TrainConfig(
-        model_type=settings["model_type"], mode=settings["mode"],
-        modalities=tuple(settings["radio_modality"]),
-        n_classes=settings["n_classes"], bag_loss=settings["bag_loss"],
-        model_size_wsi=settings.get("model_size_wsi", "small"),
-        model_size_radio=settings.get("model_size_radio", "small"),
-        model_size_omic=settings.get("model_size_omic", "small"),
-        radio_fusion=settings.get("radio_fusion") or "concat",
-        gate_path=settings.get("gate_path", True),
-        gate_radio=settings.get("gate_radio", True),
-        batch_size=1, seed=settings["seed"])
+    from multimodalfusion_tpu.utils.experiment import config_from_settings
+    cfg = config_from_settings(settings, batch_size=1)
     model = build_model(cfg)
     variables = dict(model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -479,10 +470,11 @@ def run_omic_branch(cfg_ns) -> int:
     idx = usable_indices(split)
     batch = next(iter_batches(split, batch_size=len(idx), indices=idx))
     subject_ids = batch.pop("subject_ids")
-    cfg = TrainConfig(model_type="max_net", mode="omic",
-                      n_classes=settings["n_classes"],
-                      bag_loss=settings["bag_loss"],
-                      batch_size=len(idx), seed=settings["seed"])
+    from multimodalfusion_tpu.utils.experiment import \
+        config_from_settings
+    cfg = config_from_settings(settings, model_type="max_net",
+                               mode="omic", batch_size=len(idx),
+                               pretrained=False)
     model = build_model(cfg)
     variables = dict(model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},

@@ -14,7 +14,6 @@ import pandas as pd
 from multimodalfusion_tpu.data.io import save_pkl
 from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
 from multimodalfusion_tpu.engine.evaluate import eval_model
-from multimodalfusion_tpu.engine.train import TrainConfig
 from multimodalfusion_tpu.utils.experiment import read_settings
 
 
@@ -58,16 +57,13 @@ def main(argv=None) -> int:
         keys = (("train", "val", "test") if split_mode == "train_val_test"
                 else ("train", "val"))
         splits = dataset.load_splits(split_csv, keys=keys)
-        cfg = TrainConfig(
-            model_type=settings["model_type"], mode=settings["mode"],
-            modalities=tuple(settings["radio_modality"]),
-            n_classes=settings["n_classes"], bag_loss=settings["bag_loss"],
-            alpha_surv=settings.get("alpha_surv", 0.0),
-            nll_ratio=settings.get("nll_ratio", 0.2),
+        from multimodalfusion_tpu.utils.experiment import \
+            config_from_settings
+        cfg = config_from_settings(
+            settings,
             batch_size=args.batch_size or settings.get("batch_size", 1),
-            seed=settings["seed"], results_dir=args.model_path,
-            split_mode=split_mode, train_type=settings.get("train_type"),
-            n_layers=settings.get("n_layers", 1), pretrained=True)
+            results_dir=args.model_path, split_mode=split_mode,
+            pretrained=True)
         out = eval_model(splits, i, cfg, dataset.bins,
                          model_path=args.model_path)
         if split_mode == "train_val_test":

@@ -20,7 +20,7 @@ import pandas as pd
 from multimodalfusion_tpu.data.io import ensure_dir, save_pt
 from multimodalfusion_tpu.data.loaders import iter_batches, usable_indices
 from multimodalfusion_tpu.data.survival_dataset import SurvivalDataset
-from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+from multimodalfusion_tpu.engine.train import (build_model,
                                                load_checkpoint,
                                                model_inputs)
 from multimodalfusion_tpu.utils.experiment import read_settings
@@ -72,17 +72,11 @@ def main(argv=None) -> int:
     else:
         keep = None
 
-    cfg = TrainConfig(
+    from multimodalfusion_tpu.utils.experiment import config_from_settings
+    cfg = config_from_settings(
+        settings, batch_size=args.batch_size,
         model_type=settings.get("model_type") or _MODE_TO_MODEL[mode],
-        mode=mode, modalities=tuple(settings["radio_modality"]),
-        n_classes=settings["n_classes"], bag_loss=settings["bag_loss"],
-        model_size_wsi=settings.get("model_size_wsi", "small"),
-        model_size_radio=settings.get("model_size_radio", "small"),
-        model_size_omic=settings.get("model_size_omic", "small"),
-        radio_fusion=settings.get("radio_fusion") or "concat",
-        gate_path=settings.get("gate_path", True),
-        gate_radio=settings.get("gate_radio", True),
-        batch_size=args.batch_size, seed=settings["seed"])
+        pretrained=False)
     model = build_model(cfg)
 
     idx = usable_indices(whole)

@@ -79,7 +79,9 @@ def config_from_settings(settings: dict, **overrides):
     from multimodalfusion_tpu.engine.train import TrainConfig
     pretrained = bool(settings.get("train_type"))
     kwargs = dict(
-        model_type=settings["model_type"], mode=settings["mode"],
+        # the reference records model_type (ref main.py:232) but guard
+        # with .get so an override can supply it for partial txts
+        model_type=settings.get("model_type"), mode=settings["mode"],
         modalities=tuple(settings["radio_modality"]),
         n_classes=settings["n_classes"],
         bag_loss=settings["bag_loss"],
