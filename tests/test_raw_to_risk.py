@@ -193,3 +193,13 @@ def test_raw_to_risk_full_pipeline(raw_base):
     attr = pd.read_csv(next((b / "attr").rglob("attr.csv")))
     assert {"radio_attr", "path_attr", "omic_attr"} <= set(attr.columns)
     assert len(attr) >= N_SUBJ // 2  # every val subject, folds pooled
+
+    # ---- serving: label-free scoring of the stage-4 fusion head -----
+    from multimodalfusion_tpu.cli.infer import main as s_infer
+    out_csv = b / "risks_s4.csv"
+    assert s_infer(["--model_path", str(exp4), "--which_k", "0",
+                    "--out", str(out_csv)]) == 0
+    risks = pd.read_csv(out_csv)
+    assert len(risks) == N_SUBJ
+    assert np.isfinite(risks["risk"]).all()
+    assert "hazard_0" in risks.columns  # nll family exports hazards/S
