@@ -129,3 +129,46 @@ def test_import_is_strict_false(rng):
     for a, b in zip(jax.tree.leaves(params),
                     jax.tree.leaves(variables["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_config_from_settings_reference_txt_shape():
+    """config_from_settings hydrates from the REFERENCE's settings-txt
+    key set (a literal dict as ref main.py:215-246 writes it — no
+    gate_*/batch_size/split_mode/alpha_surv keys) with the reference's
+    constructor defaults."""
+    from multimodalfusion_tpu.utils.experiment import config_from_settings
+    ref_settings = {
+        'data_root_dir': '/x/feat/brain',
+        'csv_path': 'dataset_csv/brain/survival.csv',
+        'split_dir': './splits/brain/2foldcv', 'cancer_type': 'brain',
+        'mode': 'path', 'num_splits': 2, 'n_classes': 4,
+        'k_start': -1, 'k_end': -1, 'task': 'survival',
+        'max_epochs': 30, 'results_dir': '/x/ref_results/brain',
+        'lr': 0.0002, 'reg': 1e-05, 'label_frac': 1.0,
+        'inst_loss': None, 'bag_loss': 'nll_surv', 'bag_weight': 0.7,
+        'seed': 0, 'model_type': 'path_attention_mil',
+        'model_size_wsi': 'small', 'model_size_omic': 'small',
+        'model_size_radio': 'small', 'use_drop_out': True,
+        'weighted_sample': False, 'gc': 1, 'opt': 'adam',
+        'fusion': None, 'radio_fusion': None, 'radio_mil_type': None,
+        'radio_modality': ['T1', 'T2', 'T1Gd', 'FLAIR'],
+    }
+    cfg = config_from_settings(ref_settings, batch_size=4)
+    assert cfg.model_type == "path_attention_mil"
+    assert cfg.pretrained is False          # no train_type key
+    assert cfg.gate_path is True            # ref Attn_Net_Gated default
+    assert cfg.gate_radio is True
+    assert cfg.gate is False                # mm fusion gate not recorded
+    assert cfg.radio_fusion == "concat"     # None -> the usable default
+    assert cfg.drop_out is True             # use_drop_out carried over
+    assert cfg.batch_size == 4              # override wins
+    assert cfg.modalities == ("T1", "T2", "T1Gd", "FLAIR")
+
+    # stage-4 style: train_type flips pretrained on
+    s4 = dict(ref_settings, train_type="early-fcnn", n_layers=2,
+              bag_loss="cox_surv", alpha_surv=0.6, split_mode="train_val")
+    cfg4 = config_from_settings(s4)
+    assert cfg4.pretrained is True
+    assert cfg4.train_type == "early-fcnn"
+    assert cfg4.n_layers == 2
+    assert cfg4.alpha_surv == 0.6
