@@ -338,6 +338,19 @@ def run_path_branch(cfg_ns) -> int:
     return 0
 
 
+def slice_group_size(n: int) -> int:
+    """Top/low slice group size for the radio branch.
+
+    The reference floors its dynamic k at 20
+    (ref create_heatmaps.py:626-628: max(ceil(n*0.1), 20)) — which
+    CRASHES for n < 20 and silently makes the top/low groups overlap
+    for n < 40.  Deliberate deviation: the 20-floor is kept but capped
+    at n // 2 so the two groups are always disjoint (and short scans
+    still get a meaningful split instead of an error/everything-"top").
+    """
+    return min(max(int(np.ceil(n * 0.1)), 20), n // 2)
+
+
 def run_radio_branch(cfg_ns) -> int:
     d = cfg_ns.data_arguments
     m = cfg_ns.model_arguments
@@ -380,14 +393,14 @@ def run_radio_branch(cfg_ns) -> int:
         # intersect_slices guarantees score i belongs to common[i]
         assert len(scores) == len(common)
         n = len(scores)
-        decile = max(int(np.ceil(n * 0.1)), min(20, n))  # ref :604-612
+        k = slice_group_size(n)
         order = np.argsort(-scores)
         for rank, idx in enumerate(order):
             rows.append({"subject_id": subject,
                          "slice_index": int(common[idx]),
                          "attention": float(scores[idx]),
-                         "group": ("top" if rank < decile else
-                                   "low" if rank >= n - decile else "mid")})
+                         "group": ("top" if rank < k else
+                                   "low" if rank >= n - k else "mid")})
     scores_df = pd.DataFrame(rows)
     scores_df.to_csv(os.path.join(save_dir, "scores.csv"), index=False)
     print(f"wrote slice attention scores -> {save_dir}/scores.csv")

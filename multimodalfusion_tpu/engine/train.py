@@ -518,19 +518,20 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             raise ValueError("bag_shard + data_parallel needs "
                              "--bag_shard_devices (bag-axis size of the "
                              "2-D mesh)")
-        if cfg.drop_out:
-            # attention-branch dropout forces the unfused jnp pooling
-            # path (models/pooling.py), which would silently bypass the
-            # sharded fused kernels — refuse instead
-            raise ValueError("bag_shard requires attention dropout off "
-                             "(drop --drop_out): the fused sharded "
-                             "pooling path cannot apply attention-branch "
-                             "dropout")
         if jax.device_count() < 2:
             print("bag_shard: only one device visible, running unsharded")
         elif cfg.data_parallel:
             from multimodalfusion_tpu.parallel.mesh import make_dp_bag_mesh
             bag_mesh = make_dp_bag_mesh(cfg.bag_shard_devices)
+            n_data = bag_mesh.shape["data"]
+            if cfg.batch_size % n_data:
+                # shard_map would otherwise die at model.init with an
+                # opaque shape error (advisor r3)
+                raise ValueError(
+                    f"--batch_size {cfg.batch_size} must be divisible by "
+                    f"the data-axis size {n_data} of the 2-D mesh "
+                    f"(= devices / --bag_shard_devices "
+                    f"{cfg.bag_shard_devices})")
             print(f"bag_shard x data_parallel: 2-D mesh "
                   f"{dict(bag_mesh.shape)}")
         else:

@@ -50,30 +50,41 @@ class AttentionPool(nn.Module):
         cc = self.param("cc", zeros, (1,))
         params = mil.AttnParams(Wa=Wa, ba=ba, Wb=Wb, bb=bb, wc=wc, cc=cc)
 
-        needs_unfused = return_attn or (self.attn_dropout
-                                        and not deterministic)
-        if not needs_unfused:
+        use_dropout = self.attn_dropout and not deterministic
+        da = db = None
+        if use_dropout:
+            # explicit per-branch keep masks from the step RNG: the fused
+            # fwd+bwd kernels, the sharded pool and the unfused read-out
+            # path all apply the identical bits (ops/mil_attention.py)
+            da, db = mil.make_dropout_masks(
+                self.make_rng("dropout"),
+                (h.shape[0], h.shape[1], self.D), gated=self.gated)
+
+        if not return_attn:
             if self.bag_mesh is not None:
                 from multimodalfusion_tpu.ops.sharded_pool import \
                     sharded_attention_pool
                 return sharded_attention_pool(h, mask, params, self.gated,
                                               self.bag_mesh, self.bag_axis,
-                                              self.bag_batch_axis)
-            pooled = mil.attention_pool(h, mask, params, self.gated)
-            return pooled
+                                              self.bag_batch_axis,
+                                              da=da, db=db)
+            if use_dropout:
+                return mil.attention_pool_dropout(h, mask, da, db, params,
+                                                  self.gated)
+            return mil.attention_pool(h, mask, params, self.gated)
 
-        # Unfused path with optional attention-branch dropout
-        # (ref model_modules.py:97-99).
+        # Unfused read-out path (attention distribution + raw scores for
+        # interpretability escapes) with optional attention-branch
+        # dropout (ref model_modules.py:97-99).
+        inv_keep = 1.0 / (1.0 - mil.ATTN_DROPOUT_RATE)
         a = jnp.tanh(h @ Wa + ba)
-        if self.attn_dropout:
-            a = nn.Dropout(0.25, deterministic=deterministic)(a)
+        if use_dropout:
+            a = a * (da.astype(jnp.float32) * inv_keep)
         if self.gated:
             b = jax.nn.sigmoid(h @ Wb + bb)
-            if self.attn_dropout:
-                b = nn.Dropout(0.25, deterministic=deterministic)(b)
+            if use_dropout:
+                b = b * (db.astype(jnp.float32) * inv_keep)
             a = a * b
         s = (a @ wc + cc)[..., 0]
         pooled, attn = mil.masked_softmax_pool(s, h, mask)
-        if return_attn:
-            return pooled, attn, s
-        return pooled
+        return pooled, attn, s

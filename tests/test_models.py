@@ -56,6 +56,32 @@ def test_maxnet_dropout_stochastic(rng):
                                   np.asarray(o4["risk"]))
 
 
+@pytest.mark.parametrize("gated", [True, False])
+def test_attention_pool_dropout_fused_equals_readout(rng, gated):
+    """With attn_dropout on, the fused training path and the unfused
+    read-out path draw the SAME keep masks from the rng, so pooling is
+    bit-identical between them (the r3 fused-dropout rework)."""
+    from multimodalfusion_tpu.models.pooling import AttentionPool
+    h = jnp.array(rng.normal(size=(2, 40, 32)).astype(np.float32))
+    mask = jnp.ones((2, 40), jnp.float32)
+    pool = AttentionPool(D=16, gated=gated, attn_dropout=True)
+    variables = pool.init({"params": KEY, "dropout": KEY}, h, mask)
+    drop = {"dropout": jax.random.PRNGKey(5)}
+    fused = pool.apply(variables, h, mask, deterministic=False, rngs=drop)
+    readout, attn, s = pool.apply(variables, h, mask, deterministic=False,
+                                  return_attn=True, rngs=drop)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(readout),
+                               rtol=1e-6, atol=1e-7)
+    # different rng -> different masks -> different pooling
+    other = pool.apply(variables, h, mask, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(6)})
+    assert not np.allclose(np.asarray(fused), np.asarray(other))
+    # deterministic path ignores dropout entirely
+    det1 = pool.apply(variables, h, mask, deterministic=True)
+    det2 = pool.apply(variables, h, mask, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(det1), np.asarray(det2))
+
+
 @pytest.mark.parametrize("gate", [True, False])
 def test_path_amil(rng, gate):
     bags = jnp.array(rng.normal(size=(3, 64, 1024)).astype(np.float32))

@@ -1,0 +1,113 @@
+"""Kernel-variant bench: AMIL train-step throughput WITH vs WITHOUT
+attention-branch dropout, measured identically on the real chip.
+
+Every published reference training recipe passes --drop_out
+(ref commands/commands.sh:7,12,19); round 3's review flagged that the
+fused Pallas kernels were bypassed in that configuration.  This tool
+records the evidence that the fused-with-dropout path (r4) holds the
+throughput: same methodology as bench.py's secondary AMIL metric
+(steps chained in-graph, device-resident inputs, host-readback sync),
+same session for both variants so the chip's ±30% session noise
+cancels.
+
+Writes PERF_VARIANTS.json at the repo root:
+  {"amil_dropout_over_nodrop": R, "variants": {...}, ...}
+
+Usage:  python tools/bench_variants.py  (on the TPU host)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _sync(jax, tree):
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(leaf).ravel()[:1]
+    return tree
+
+
+def bench_amil(drop_out: bool, B=32, N=4096, D=1024, iters=100, reps=3):
+    import jax
+    import jax.numpy as jnp
+    from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                                   make_optimizer,
+                                                   make_steps)
+    cfg = TrainConfig(model_type="path_attention_mil", mode="path",
+                      bag_loss="nll_surv", gate_path=True, batch_size=B,
+                      bag_dtype="bfloat16", drop_out=drop_out)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    train_step, _ = make_steps(cfg, model, tx)
+    import jax.random as jrandom
+    kb, km = jrandom.split(jrandom.PRNGKey(0))
+    jbatch = {
+        "path_bags": jrandom.normal(kb, (B, N, D), jnp.float32),
+        "path_mask": (jrandom.uniform(km, (B, N)) < 0.9).astype(
+            jnp.float32),
+        "Y": jnp.asarray(np.random.default_rng(0).integers(0, 4, size=B),
+                         jnp.int32),
+        "t": jnp.asarray(np.random.default_rng(1).uniform(1, 100, size=B),
+                         jnp.float32),
+        "c": jnp.asarray(np.random.default_rng(2).integers(0, 2, size=B),
+                         jnp.float32),
+        "valid": jnp.ones(B, jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = dict(model.init({"params": key, "dropout": key},
+                                bags=jbatch["path_bags"],
+                                mask=jbatch["path_mask"],
+                                deterministic=True))
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def chained(v, o, batch):
+        def body(i, carry):
+            vv, oo = carry
+            vv, oo, _ = train_step(vv, oo, batch, jax.random.fold_in(key, i))
+            return (vv, oo)
+        return jax.lax.fori_loop(0, iters, body, (v, o))
+
+    v, o = chained(variables, opt_state, jbatch)
+    _sync(jax, v)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        v, o = chained(v, o, jbatch)
+        _sync(jax, v)
+        best = max(best, B * iters / (time.perf_counter() - t0))
+    return best
+
+
+def main():
+    import jax
+    backend = jax.default_backend()
+    nodrop = bench_amil(drop_out=False)
+    drop = bench_amil(drop_out=True)
+    out = {
+        "metric": "amil_train_bags_per_sec_variants",
+        "unit": "bags/s/chip (32x4096x1024 bf16 bags, nll_surv, "
+                "fwd+bwd+opt, in-graph chained, same session)",
+        "backend": backend,
+        "variants": {
+            "no_dropout": round(nodrop, 2),
+            "attn_dropout_fused": round(drop, 2),
+        },
+        "amil_dropout_over_nodrop": round(drop / nodrop, 4),
+    }
+    path = os.path.join(REPO, "PERF_VARIANTS.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
