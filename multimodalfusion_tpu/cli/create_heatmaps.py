@@ -542,8 +542,7 @@ def run_omic_branch(cfg_ns) -> int:
     }).sort_values("mean_abs_attr", ascending=False)
     global_df.to_csv(os.path.join(save_dir, "omic_attr_global.csv"),
                      index=False)
-    # global importance bar plot (stands in for the reference's SHAP
-    # summary plot, ref evaluation.py:1003-1141)
+    # global importance bar plot (mean-|attr| summary)
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -554,6 +553,28 @@ def run_omic_branch(cfg_ns) -> int:
     fig.tight_layout()
     fig.savefig(os.path.join(save_dir, "omic_attr_global.png"), dpi=150)
     plt.close(fig)
+
+    # global SHAP-style beeswarm (ref getGlobalShap,
+    # evaluation.py:1003-1141): per-sample jittered dots per feature
+    # row, colored by the feature's value normalized on the TRAIN
+    # cohort's 5-95 percentile range, rows ranked by total |attr|
+    from multimodalfusion_tpu.interpret.explanations import \
+        global_beeswarm_plot
+    genomics_all = np.asarray(batch["genomic"])[valid]
+    split_df = pd.read_csv(os.path.join(
+        settings["split_dir"],
+        f"splits_{getattr(m, 'which_k', 0)}.csv"))
+    train_ids = set(split_df["train"].dropna())
+    ids_valid = np.asarray(subject_ids)[valid]
+    train_rows = np.isin(ids_valid, list(train_ids))
+    ref_feats = genomics_all[train_rows] if train_rows.any() \
+        else genomics_all
+    global_beeswarm_plot(
+        attr, genomics_all, genes,
+        os.path.join(save_dir, "omic_attr_beeswarm.png"),
+        ref_features=ref_feats,
+        max_display=int(getattr(h_args, "max_display", 20)),
+        seed=int(settings.get("seed", 1)))
 
     # per-patient local explanation plots (ref getIndividualSHAP,
     # evaluation.py:1374-1405, driven by create_heatmaps.py:214)

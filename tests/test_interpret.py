@@ -260,6 +260,71 @@ def test_local_attr_plot_writes_pngs(tmp_path):
     assert all(p.endswith("_local_attr.png") for p in out)
 
 
+def test_global_beeswarm_data_semantics():
+    """Plot-data assertions for the global SHAP-style beeswarm (ref
+    getGlobalShap, evaluation.py:1003-1141): row order by summed
+    |attr|, train-referenced color normalization + clipping, NaN
+    handling, jitter bounds, symmetric power-of-two x-range."""
+    from multimodalfusion_tpu.interpret.explanations import (
+        beeswarm_offsets, global_beeswarm_data)
+    rng = np.random.default_rng(4)
+    N, M, G = 30, 50, 12
+    attr = rng.normal(size=(N, G)) * np.linspace(0.1, 2.0, G)
+    feats = rng.normal(size=(N, G))
+    feats[0, 5] = np.nan                      # a NaN feature value
+    ref = rng.normal(size=(M, G)) * 3.0       # train cohort, wider range
+
+    data = global_beeswarm_data(attr, feats, ref_features=ref,
+                                max_display=8)
+    order = data["feature_order"]
+    assert len(order) == 8
+    # ascending bottom-to-top by summed |attr| — the top row (last) is
+    # the globally most important feature
+    sums = np.abs(attr).sum(axis=0)
+    assert list(order) == sorted(np.argsort(sums)[-8:],
+                                 key=lambda i: sums[i])
+    for row in data["rows"]:
+        i = row["feature"]
+        # colors normalized on the TRAIN (ref) percentile range
+        assert row["vmin"] == pytest.approx(np.nanpercentile(ref[:, i], 5))
+        assert row["vmax"] == pytest.approx(np.nanpercentile(ref[:, i], 95))
+        # every sample's dot present except NaN feature values
+        n_nan = int(np.isnan(feats[:, i]).sum())
+        assert len(row["cvals"]) == N - n_nan
+        assert len(row["shaps"]) == N
+        # cvals clipped into [vmin, vmax]
+        assert np.all(row["cvals"] >= row["vmin"] - 1e-12)
+        assert np.all(row["cvals"] <= row["vmax"] + 1e-12)
+        # jitter stays inside the row band
+        assert np.all(np.abs(row["ys"]) <= 0.9 * 0.4 + 1e-12)
+    # symmetric power-of-two x-range covering max |attr|
+    lo, hi = data["xlim"]
+    assert lo == -hi and hi >= np.abs(attr).max()
+    assert hi / 2.0 <= np.abs(attr).max() + 1e-12
+    # offsets deterministic under a seed
+    ys1 = beeswarm_offsets(attr[:, 0], seed=3)
+    ys2 = beeswarm_offsets(attr[:, 0], seed=3)
+    np.testing.assert_array_equal(ys1, ys2)
+
+
+def test_global_beeswarm_plot_renders(tmp_path):
+    from multimodalfusion_tpu.interpret.explanations import \
+        global_beeswarm_plot
+    rng = np.random.default_rng(0)
+    attr = rng.normal(size=(20, 10))
+    feats = rng.normal(size=(20, 10))
+    genes = [f"g{i}" for i in range(10)]
+    data = global_beeswarm_plot(attr, feats, genes,
+                                str(tmp_path / "bees.png"), max_display=6)
+    assert (tmp_path / "bees.png").stat().st_size > 1000
+    assert len(data["rows"]) == 6
+    # constant feature column must not crash color normalization
+    feats_const = feats.copy()
+    feats_const[:, 2] = 2.0
+    global_beeswarm_plot(attr, feats_const, genes,
+                         str(tmp_path / "bees_const.png"))
+
+
 def test_draw_heatmap_roi_screening():
     """top_left/bot_right restrict the render to the bbox and drop outside
     patches (ref screen_coords)."""

@@ -95,6 +95,9 @@ def test_heatmap_omic_branch(trained, tmp_path):
     # plotted subjects must be real per-patient CSV rows
     plotted = {p.name.replace("_local_attr.png", "") for p in local}
     assert plotted <= set(pp["subject_id"].astype(str))
+    # global SHAP-style beeswarm rendered (ref getGlobalShap)
+    bees = tmp_path / "hm_omic" / "omic_attr_beeswarm.png"
+    assert bees.is_file() and bees.stat().st_size > 1000
 
 
 def test_heatmap_radio_branch(trained, tmp_path):
