@@ -49,7 +49,124 @@ def build_parser():
                         "(ref survival_AUC)")
     p.add_argument("--bootstrap", type=int, default=0,
                    help="bootstrap iterations for c-index CIs (0 = off)")
+    p.add_argument("--emit_heatmap_yamls", type=str, default=None,
+                   metavar="DIR",
+                   help="bridge stage 4 -> stage 5 (ref "
+                        "generate_heatmap_yamls, evaluation.py:734-786): "
+                        "write ready-to-run create_heatmaps config YAMLs "
+                        "into DIR, one per experiment at its best fold")
+    p.add_argument("--heatmap_template", type=str, default=None,
+                   help="template YAML whose data/patching/heatmap/"
+                        "sample sections are carried into every emitted "
+                        "config (ref template_%%s.yaml)")
+    p.add_argument("--heatmap_branch", type=str, default="auto",
+                   choices=["auto", "path", "radio", "omic"],
+                   help="heatmap branch; auto infers from the "
+                        "experiment name prefix (PATH/RADIO/OMICS)")
+    p.add_argument("--all_folds", action="store_true", default=False,
+                   help="emit a YAML per fold instead of only the best "
+                        "val-c-index fold (ref generate_best=False loop)")
+    p.add_argument("--heatmap_save_root", type=str, default=None,
+                   help="save_dir root written into the emitted configs "
+                        "(default: DIR/heatmap_results)")
     return p
+
+
+# experiment-name prefix -> heatmap branch (stage-2 exp codes are built
+# as {PATH,RADIO,OMICS,MMF}_... by utils/experiment.py; MMF fusion heads
+# have no attention/gene heatmap — stage 5 covers them via
+# create_attributions)
+_BRANCH_PREFIXES = (("PATH", "path"), ("RADIO", "radio"),
+                    ("OMIC", "omic"))
+
+
+def _infer_branch(exp_code: str):
+    for prefix, branch in _BRANCH_PREFIXES:
+        if exp_code.upper().startswith(prefix):
+            return branch
+    return None
+
+
+def emit_heatmap_yamls(results_root: str, out_dir: str,
+                       template: str | None = None,
+                       branch: str = "auto", all_folds: bool = False,
+                       save_root: str | None = None) -> list:
+    """Write ready-to-run create_heatmaps config YAMLs for every trained
+    experiment under ``results_root`` (ref generate_heatmap_yamls,
+    evaluation.py:734-786: load template_%s.yaml, override exp/data/
+    model keys per study and fold, dump heatmap_config_*_val_*.yaml).
+
+    Fold selection follows the reference's ``generate_best`` path —
+    the fold with the highest val c-index from summary.csv (the ref
+    reads the precomputed ``val_idx`` column) — unless ``all_folds``,
+    which mirrors its per-idx loop.  Folds whose minloss checkpoint is
+    missing are skipped with a note (the ref hard-codes a skip list of
+    known-bad study/fold pairs; checking the checkpoint generalizes
+    that).  Returns the written paths.
+    """
+    import yaml
+    ensure_dir(out_dir)
+    if save_root is None:
+        save_root = os.path.join(out_dir, "heatmap_results")
+    tpl = {}
+    if template:
+        with open(template) as f:
+            tpl = yaml.safe_load(f) or {}
+    written = []
+    for dirpath, _, files in os.walk(results_root):
+        if "summary.csv" not in files:
+            continue
+        exp_code = os.path.basename(os.path.normpath(dirpath))
+        b = branch if branch != "auto" else _infer_branch(exp_code)
+        if b is None:
+            print(f"{exp_code}: no heatmap branch for this model "
+                  "family, skipping")
+            continue
+        summary = pd.read_csv(os.path.join(dirpath, "summary.csv"))
+        if "val_cindex" not in summary or not len(summary):
+            continue
+        folds = summary["folds"].astype(int).tolist() if "folds" in \
+            summary else list(range(len(summary)))
+        if not all_folds:
+            best = int(np.nanargmax(summary["val_cindex"].values))
+            folds = [folds[best]]
+        exp = os.path.relpath(dirpath, results_root).replace(os.sep,
+                                                             "__")
+        for k in folds:
+            ckpt = os.path.join(dirpath,
+                                f"s_{k}_minloss_checkpoint.msgpack")
+            if not os.path.isfile(ckpt):
+                print(f"{exp}: fold {k} has no minloss checkpoint, "
+                      "skipping")
+                continue
+            cfg = {
+                "exp_arguments": {
+                    **dict(tpl.get("exp_arguments") or {}),
+                    "branch": b,
+                    "save_dir": os.path.join(save_root,
+                                             f"{exp}_val_{k}"),
+                },
+                "data_arguments": dict(tpl.get("data_arguments") or {}),
+                "model_arguments": {
+                    **dict(tpl.get("model_arguments") or {}),
+                    "ckpt_path": os.path.abspath(dirpath),
+                    "which_k": int(k),
+                },
+                "heatmap_arguments": dict(tpl.get("heatmap_arguments")
+                                          or {}),
+            }
+            # optional template sections pass through untouched
+            for sec in ("patching_arguments", "sample_arguments"):
+                if sec in tpl:
+                    cfg[sec] = tpl[sec]
+            path = os.path.join(out_dir,
+                                f"heatmap_config_{exp}_val_{k}.yaml")
+            with open(path, "w") as f:
+                yaml.dump(cfg, f, default_flow_style=False,
+                          sort_keys=False)
+            written.append(path)
+    print(f"{len(written)} heatmap configs -> {out_dir}")
+    return written
 
 
 def _fold_frames(pkls):
@@ -76,6 +193,13 @@ def main(argv=None) -> int:
     out_csv = os.path.join(args.save_dir, "cv_summary.csv")
     table.to_csv(out_csv, index=False)
     print(f"{len(table)} experiments -> {out_csv}")
+
+    if args.emit_heatmap_yamls:
+        emit_heatmap_yamls(args.results_root, args.emit_heatmap_yamls,
+                           template=args.heatmap_template,
+                           branch=args.heatmap_branch,
+                           all_folds=args.all_folds,
+                           save_root=args.heatmap_save_root)
 
     cohort = None
     if args.cohort_csv:

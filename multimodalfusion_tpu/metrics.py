@@ -278,7 +278,13 @@ def cumulative_dynamic_auc(train_event, train_time, test_event, test_time,
     S = _step_lookup(s_t, s_v, times)
     d = -np.diff(np.concatenate([[1.0], S]))
     valid = ~np.isnan(scores)
-    denom = 1.0 - S[-1]
+    # undefined AUC(t) (a query time with no cases or no controls) is
+    # excluded from BOTH the numerator and the KM mass it weights —
+    # keeping the full 1-S(t_max) denominator would bias mean_auc low.
+    # (sksurv instead refuses such times grids up front; times inside
+    # the follow-up range can still have zero cases, so renormalizing
+    # is the usable generalization.)
+    denom = float(np.sum(d[valid]))
     mean_auc = (float(np.sum(scores[valid] * d[valid]) / denom)
                 if denom > 0 else float("nan"))
     return scores, mean_auc

@@ -72,11 +72,21 @@ def exists(path: str) -> bool:
     if not (os.path.isdir(path) and os.listdir(path)):
         return False
     import orbax.checkpoint as ocp
+    # a missing/renamed helper (future orbax) must fail LOUDLY — quietly
+    # returning False here would make --resume silently restart the fold
+    # from epoch 0
+    finalized = getattr(ocp.utils, "is_checkpoint_finalized", None)
+    if finalized is None:
+        raise RuntimeError(
+            "orbax.checkpoint.utils.is_checkpoint_finalized is gone in "
+            "this orbax version; update multimodalfusion_tpu.utils."
+            "orbax_io.exists for the new finalization API")
     try:
-        if not ocp.utils.is_checkpoint_finalized(path):
+        if not finalized(path):
             return False
-    except Exception:
-        # is_checkpoint_finalized raises on non-checkpoint layouts
+    except ValueError:
+        # the documented raise for non-checkpoint layouts (tmp-suffixed
+        # dirs in older orbax); anything else propagates
         return False
     # a finalized StandardCheckpointer dir carries the pytree metadata;
     # its absence means some other tool populated the directory

@@ -561,6 +561,78 @@ def test_summarize_cli(tmp_path):
     assert not list((tmp_path / "rep2").glob("*_km.png"))
 
 
+def test_emit_heatmap_yamls(tmp_path):
+    """Stage-4 -> stage-5 bridge (ref generate_heatmap_yamls,
+    evaluation.py:734-786): best-fold selection, branch inference from
+    the experiment code, template section passthrough, checkpoint-less
+    folds skipped, --all_folds per-fold loop."""
+    import os
+
+    import pandas as pd
+    import yaml
+
+    from multimodalfusion_tpu.cli.summarize import (emit_heatmap_yamls,
+                                                    main as sm)
+
+    root = tmp_path / "res"
+    exps = {"OMICS_a0.0_s1": [0.60, 0.75, 0.70],
+            "PATH_a0.0_s1": [0.55, 0.52, 0.58],
+            "MMF_a0.0_s1": [0.8, 0.8, 0.8]}   # fusion head: no branch
+    for exp, vals in exps.items():
+        d = root / "lung" / "3foldcv" / exp
+        os.makedirs(d)
+        pd.DataFrame({"folds": [0, 1, 2],
+                      "val_cindex": vals}).to_csv(d / "summary.csv")
+        for k in range(3):
+            if exp.startswith("PATH") and k == 2:
+                continue  # best PATH fold lacks its checkpoint
+            (d / f"s_{k}_minloss_checkpoint.msgpack").write_bytes(b"x")
+    tpl = tmp_path / "tpl.yaml"
+    tpl.write_text(yaml.dump({
+        "data_arguments": {"feat_dir": "/feats"},
+        "heatmap_arguments": {"max_display": 7},
+        "sample_arguments": {"floor": 10},
+    }))
+
+    out = tmp_path / "cfgs"
+    written = emit_heatmap_yamls(str(root), str(out),
+                                 template=str(tpl))
+    names = {os.path.basename(p) for p in written}
+    # OMICS best fold = 1 (0.75); PATH best fold 2 has no ckpt -> skip;
+    # MMF has no heatmap branch
+    assert names == {
+        "heatmap_config_lung__3foldcv__OMICS_a0.0_s1_val_1.yaml"}
+    cfg = yaml.safe_load(open(written[0]))
+    assert cfg["exp_arguments"]["branch"] == "omic"
+    assert cfg["model_arguments"]["which_k"] == 1
+    assert cfg["model_arguments"]["ckpt_path"] == str(
+        root / "lung" / "3foldcv" / "OMICS_a0.0_s1")
+    # template sections carried through
+    assert cfg["data_arguments"] == {"feat_dir": "/feats"}
+    assert cfg["heatmap_arguments"] == {"max_display": 7}
+    assert cfg["sample_arguments"] == {"floor": 10}
+    # save_dir defaults under the emit dir, per-experiment-and-fold
+    assert cfg["exp_arguments"]["save_dir"].startswith(
+        str(out / "heatmap_results"))
+
+    # --all_folds mirrors the reference's per-idx loop
+    out2 = tmp_path / "cfgs_all"
+    written = emit_heatmap_yamls(str(root), str(out2), all_folds=True)
+    stems = {os.path.basename(p) for p in written}
+    assert sum(s.startswith("heatmap_config_lung__3foldcv__OMICS")
+               for s in stems) == 3
+    assert sum(s.startswith("heatmap_config_lung__3foldcv__PATH")
+               for s in stems) == 2  # fold 2 ckpt missing
+
+    # wired into the CLI
+    rc = sm(["--results_root", str(root),
+             "--save_dir", str(tmp_path / "rep"),
+             "--emit_heatmap_yamls", str(tmp_path / "cli_cfgs"),
+             "--heatmap_template", str(tpl)])
+    assert rc == 0
+    assert list((tmp_path / "cli_cfgs").glob("heatmap_config_*.yaml"))
+
+
 def test_all_clis_expose_help():
     """Every CLI module builds its parser (import/flag smoke)."""
     import importlib

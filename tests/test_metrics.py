@@ -249,6 +249,25 @@ def test_cumulative_dynamic_auc_tied_estimates_half_credit():
     np.testing.assert_allclose(aucs, 0.5)
 
 
+def test_cumulative_dynamic_auc_nan_times_renormalize():
+    """A query time with no cases yet (AUC undefined -> NaN) must drop
+    its KM mass from the mean's denominator too — keeping the full
+    1-S(t_max) denominator would bias mean_auc low (advisor round 3)."""
+    e = np.ones(6, bool)
+    t = np.array([2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+    risk = -t
+    times = np.array([1.0, 4.5])  # no events by t=1 -> NaN AUC there
+    aucs, mean_auc = metrics.cumulative_dynamic_auc(e, t, e, t, risk,
+                                                    times)
+    assert np.isnan(aucs[0]) and aucs[1] == pytest.approx(1.0)
+    # the one valid time carries all the surviving KM mass
+    np.testing.assert_allclose(mean_auc, 1.0, rtol=1e-12)
+    # all times invalid -> NaN mean, not a division error
+    _, m = metrics.cumulative_dynamic_auc(e, t, e, t, risk,
+                                          np.array([0.5, 1.0]))
+    assert np.isnan(m)
+
+
 def test_cindex_ipcw_tau_excludes_zero_G_events():
     """An event past the train follow-up (G == 0 there) must not raise
     when tau truncates it away — sksurv masks BEFORE weighting."""

@@ -150,6 +150,27 @@ def test_raw_to_risk_full_pipeline(raw_base):
                          {"path": "PATH", "radio": "RADIO",
                           "omic": "OMICS"}[arm])][0]
 
+    # ---- stage 4.5 -> 5 bridge: summarize emits a heatmap YAML and
+    # create_heatmaps consumes it unmodified (ref generate_heatmap_yamls,
+    # evaluation.py:734-786) --------------------------------------------
+    from multimodalfusion_tpu.cli.create_heatmaps import main as hm
+    from multimodalfusion_tpu.cli.summarize import main as sm
+    cfg_dir = b / "hm_cfgs"
+    assert sm(["--results_root", str(b / "s2"),
+               "--save_dir", str(b / "s2_report"),
+               "--emit_heatmap_yamls", str(cfg_dir)]) == 0
+    omic_cfgs = sorted(cfg_dir.glob("heatmap_config_*OMICS*.yaml"))
+    assert len(omic_cfgs) == 1  # best fold only
+    assert hm(["--config", str(omic_cfgs[0])]) == 0
+    import yaml
+    hm_save = yaml.safe_load(open(omic_cfgs[0]))["exp_arguments"][
+        "save_dir"]
+    assert os.path.getsize(
+        os.path.join(hm_save, "omic_attr_beeswarm.png")) > 1000
+    attr_glob = pd.read_csv(os.path.join(hm_save,
+                                         "omic_attr_global.csv"))
+    assert len(attr_glob) == 8  # one row per gene
+
     # ---- stage 3: 256-d embeddings ----------------------------------
     from multimodalfusion_tpu.cli.pre_trained_feature import main as s3
     for arm, exp in exps.items():
