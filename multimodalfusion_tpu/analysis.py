@@ -157,6 +157,63 @@ def summarize_experiments(results_root: str,
         drop=True) if rows else pd.DataFrame()
 
 
+def pivot_summary(table: pd.DataFrame,
+                  value_col: str = "val_cindex_mean") -> pd.DataFrame:
+    """Cross-experiment comparison pivot: model/experiment code rows ×
+    cohort columns of the chosen metric (ref utils_summary.py:315-329
+    pivot_summary — modalities × concat per loss family; here the
+    experiment code already encodes loss/modality/fusion, so the pivot
+    is code × cohort).
+
+    ``table`` is summarize_experiments output; its ``experiment``
+    column is the cohort__splits__EXPCODE relpath, split here into the
+    cohort (first component) and the model code (last).
+    """
+    if not len(table):
+        return pd.DataFrame()
+    parts = table["experiment"].astype(str).str.split("__")
+    df = table.copy()
+    df["cohort"] = parts.str[0]
+    df["model"] = parts.str[-1]
+    return df.pivot_table(index="model", columns="cohort",
+                          values=value_col, aggfunc="mean").round(4)
+
+
+def plot_compare_bar(pivot_df: pd.DataFrame, out_path: str,
+                     value_label: str = "c-index",
+                     title: str = "k-fold CV c-index by experiment"):
+    """Grouped horizontal bar comparison of the pivot — one bar group
+    per model, one hue per cohort, rows ordered by cross-cohort mean
+    (ref utils_summary.py:330-335 plot_bar)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    order = pivot_df.mean(axis=1).sort_values().index
+    df = pivot_df.loc[order]
+    cohorts = list(df.columns)
+    n_models, n_coh = len(df), max(len(cohorts), 1)
+    fig, ax = plt.subplots(
+        figsize=(8, max(3.0, 0.4 * n_models * n_coh)))
+    y = np.arange(n_models)
+    h = 0.8 / n_coh
+    cmap = plt.get_cmap("tab10")
+    for j, cohort in enumerate(cohorts):
+        vals = df[cohort].values.astype(float)
+        ax.barh(y + (j - (n_coh - 1) / 2) * h, np.nan_to_num(vals),
+                height=h, color=cmap(j % 10), label=str(cohort))
+    ax.set_yticks(y)
+    ax.set_yticklabels(df.index)
+    ax.set_xlabel(value_label)
+    ax.set_title(title)
+    ax.legend(title="cohort", fontsize=8)
+    for side in ("right", "top"):
+        ax.spines[side].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+    return out_path
+
+
 def km_by_risk_group(results_pkl: dict,
                      percentiles: Sequence[float] = (50,)):
     """KM curves + logrank p for percentile-stratified risk groups (ref

@@ -49,6 +49,12 @@ def build_parser():
                         "(ref survival_AUC)")
     p.add_argument("--bootstrap", type=int, default=0,
                    help="bootstrap iterations for c-index CIs (0 = off)")
+    p.add_argument("--pivot", action="store_true", default=False,
+                   help="write a model x cohort pivot of the summary "
+                        "metric plus a grouped bar comparison plot "
+                        "(ref utils_summary.py pivot_summary/plot_bar)")
+    p.add_argument("--pivot_col", type=str, default="val_cindex_mean",
+                   help="cv_summary column to pivot/plot")
     p.add_argument("--emit_heatmap_yamls", type=str, default=None,
                    metavar="DIR",
                    help="bridge stage 4 -> stage 5 (ref "
@@ -193,6 +199,20 @@ def main(argv=None) -> int:
     out_csv = os.path.join(args.save_dir, "cv_summary.csv")
     table.to_csv(out_csv, index=False)
     print(f"{len(table)} experiments -> {out_csv}")
+
+    if args.pivot and len(table):
+        if args.pivot_col not in table.columns:
+            print(f"--pivot_col {args.pivot_col!r} not in cv_summary "
+                  f"columns {sorted(table.columns)}; skipping pivot")
+        else:
+            pv = analysis.pivot_summary(table, args.pivot_col)
+            pv_csv = os.path.join(args.save_dir, "cv_pivot.csv")
+            pv.to_csv(pv_csv)
+            analysis.plot_compare_bar(
+                pv, os.path.join(args.save_dir, "cv_compare.png"),
+                value_label=args.pivot_col)
+            print(f"pivot {pv.shape[0]}x{pv.shape[1]} -> {pv_csv} "
+                  "(+ cv_compare.png)")
 
     if args.emit_heatmap_yamls:
         emit_heatmap_yamls(args.results_root, args.emit_heatmap_yamls,

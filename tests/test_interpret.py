@@ -561,6 +561,42 @@ def test_summarize_cli(tmp_path):
     assert not list((tmp_path / "rep2").glob("*_km.png"))
 
 
+def test_pivot_summary_and_bar(tmp_path):
+    """Model x cohort pivot + grouped bar comparison (ref
+    utils_summary.py:315-335 pivot_summary/plot_bar)."""
+    import os
+
+    import pandas as pd
+
+    from multimodalfusion_tpu.cli.summarize import main as sm
+
+    for cohort, exp, vals in (("brain", "OMICS_a0.0_s1", [0.70, 0.72]),
+                              ("brain", "PATH_a0.0_s1", [0.60, 0.62]),
+                              ("lung", "OMICS_a0.0_s1", [0.66, 0.68])):
+        d = tmp_path / "res" / cohort / "5cv" / exp
+        os.makedirs(d)
+        pd.DataFrame({"folds": [0, 1], "val_cindex": vals}).to_csv(
+            d / "summary.csv")
+    table = analysis.summarize_experiments(str(tmp_path / "res"))
+    pv = analysis.pivot_summary(table)
+    assert pv.loc["OMICS_a0.0_s1", "brain"] == pytest.approx(0.71)
+    assert pv.loc["OMICS_a0.0_s1", "lung"] == pytest.approx(0.67)
+    assert pv.loc["PATH_a0.0_s1", "brain"] == pytest.approx(0.61)
+    assert np.isnan(pv.loc["PATH_a0.0_s1", "lung"])  # not run there
+    out = analysis.plot_compare_bar(pv, str(tmp_path / "cmp.png"))
+    assert os.path.getsize(out) > 1000
+    # empty table degrades gracefully
+    assert analysis.pivot_summary(pd.DataFrame()).empty
+
+    rc = sm(["--results_root", str(tmp_path / "res"),
+             "--save_dir", str(tmp_path / "rep"), "--pivot"])
+    assert rc == 0
+    pv2 = pd.read_csv(tmp_path / "rep" / "cv_pivot.csv",
+                      index_col="model")
+    assert set(pv2.columns) == {"brain", "lung"}
+    assert (tmp_path / "rep" / "cv_compare.png").stat().st_size > 1000
+
+
 def test_emit_heatmap_yamls(tmp_path):
     """Stage-4 -> stage-5 bridge (ref generate_heatmap_yamls,
     evaluation.py:734-786): best-fold selection, branch inference from
