@@ -68,20 +68,47 @@ class ArraySlide:
 
 
 class PILSlide(ArraySlide):
-    """PIL-backed slide: multi-page TIFF pages are pyramid levels."""
+    """PIL-backed slide: multi-page TIFF pages are pyramid levels.
 
-    def __init__(self, path: str):
+    PIL cannot partially decode TIFF regions, so every page is decoded
+    into RAM.  To keep a gigapixel slide from silently OOMing the host
+    (this box has ~1 small core), the decoded size is computed from the
+    page headers FIRST — past ``max_decode_bytes`` (default 1 GiB,
+    overridable via the MMF_TPU_WSI_MAX_BYTES env var) the constructor
+    raises with the remedy instead of dying in the allocator.
+    """
+
+    DEFAULT_MAX_BYTES = 1 << 30
+
+    def __init__(self, path: str, max_decode_bytes: Optional[int] = None):
         from PIL import Image
+        if max_decode_bytes is None:
+            max_decode_bytes = int(os.environ.get(
+                "MMF_TPU_WSI_MAX_BYTES", self.DEFAULT_MAX_BYTES))
         img = Image.open(path)
-        levels = []
+        # page sizes come from the headers — no pixels decoded yet
+        sizes = []
         try:
             i = 0
             while True:
                 img.seek(i)
-                levels.append(np.asarray(img.convert("RGB")))
+                sizes.append(img.size)  # (w, h)
                 i += 1
         except EOFError:
             pass
+        total = sum(3 * w * h for (w, h) in sizes)
+        if total > max_decode_bytes:
+            raise ValueError(
+                f"{path}: decoding {len(sizes)} page(s) "
+                f"{sizes} needs ~{total / 2**20:.0f} MiB "
+                f"(> {max_decode_bytes / 2**20:.0f} MiB budget). PIL "
+                "cannot stream TIFF regions; use an openslide-readable "
+                "pyramidal format, or raise MMF_TPU_WSI_MAX_BYTES / "
+                "max_decode_bytes if the host has the RAM.")
+        levels = []
+        for i in range(len(sizes)):
+            img.seek(i)
+            levels.append(np.asarray(img.convert("RGB")))
         order = np.argsort([-l.shape[0] for l in levels])
         super().__init__([levels[i] for i in order],
                          name=os.path.splitext(os.path.basename(path))[0])
