@@ -8,9 +8,14 @@ module implements the subset of DICOM needed by that pipeline natively:
   * Part-10 files (128-byte preamble + 'DICM') and bare datasets;
   * Explicit VR Little Endian (1.2.840.10008.1.2.1) and
     Implicit VR Little Endian (1.2.840.10008.1.2);
-  * defined- and undefined-length sequences are skipped structurally;
-  * compressed transfer syntaxes raise a clear error (convert to
-    NIfTI via data/nifti.py instead).
+  * Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) via zlib;
+  * encapsulated (compressed) PixelData: RLE Lossless
+    (1.2.840.10008.1.2.5, native PackBits decoder per PS3.5 Annex G)
+    and the JPEG family PIL can decode — baseline/extended
+    (…1.2.4.50/.51) and JPEG 2000 (…1.2.4.90/.91); JPEG Lossless
+    SV1 (…1.2.4.70) has no decoder in this image and raises a clear
+    error naming the remedy;
+  * defined- and undefined-length sequences are skipped structurally.
 
 ``read_file`` returns a ``DicomSlice`` whose attribute surface matches
 what the pipeline touches on a pydicom Dataset (``pixel_array``,
@@ -30,6 +35,18 @@ import numpy as np
 
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
+JPEG2000 = "1.2.840.10008.1.2.4.91"
+
+# encapsulated-PixelData syntaxes this reader can decode
+_PIL_SYNTAXES = {JPEG_BASELINE, JPEG_EXTENDED, JPEG2000_LOSSLESS,
+                 JPEG2000}
+_ENCAPSULATED = _PIL_SYNTAXES | {RLE_LOSSLESS, JPEG_LOSSLESS_SV1}
 
 # tags the CT pipeline needs (group, element) -> (name, VR)
 _TAGS = {
@@ -65,9 +82,6 @@ class DicomSlice:
 
     @property
     def pixel_array(self) -> np.ndarray:
-        raw = self._elements.get("PixelData")
-        if raw is None:
-            raise AttributeError("no PixelData")
         rows = int(self._elements["Rows"])
         cols = int(self._elements["Columns"])
         bits = int(self._elements.get("BitsAllocated", 16))
@@ -78,8 +92,114 @@ class DicomSlice:
             dtype = np.int8 if signed else np.uint8
         else:
             raise NotImplementedError(f"BitsAllocated={bits}")
+        fragments = self._elements.get("PixelDataFragments")
+        if fragments is not None:
+            return _decode_encapsulated(
+                fragments, self._elements.get("TransferSyntaxUID", ""),
+                rows, cols, bits, signed)
+        raw = self._elements.get("PixelData")
+        if raw is None:
+            raise AttributeError("no PixelData")
         arr = np.frombuffer(raw, dtype=dtype, count=rows * cols)
         return arr.reshape(rows, cols)
+
+
+# ---------------------------------------------------------------------------
+# encapsulated (compressed) PixelData codecs
+# ---------------------------------------------------------------------------
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits per PS3.5 G.3.1 (identical to TIFF PackBits)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:                      # literal run of ctrl+1 bytes
+            out += data[i:i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:                    # replicate next byte 257-ctrl
+            out += data[i:i + 1] * (257 - ctrl)
+            i += 1
+        # ctrl == 128: no-op
+    return bytes(out[:expected])
+
+
+def _run_length_at(data: bytes, i: int, cap: int = 128) -> int:
+    run = 1
+    while i + run < len(data) and run < cap and data[i + run] == data[i]:
+        run += 1
+    return run
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (writer/tests): replicate runs >= 3, literals
+    otherwise, both capped at 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = _run_length_at(data, i)
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 128 and _run_length_at(data, j, 3) < 3:
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _decode_rle_frame(frame: bytes, rows: int, cols: int,
+                      bits: int) -> np.ndarray:
+    """DICOM RLE Lossless frame (PS3.5 Annex G): a 64-byte header of
+    16 LE uint32 (segment count + offsets), then PackBits byte planes,
+    MSB plane first for 16-bit composite pixels."""
+    header = struct.unpack("<16I", frame[:64])
+    n_seg = header[0]
+    offsets = list(header[1:1 + n_seg]) + [len(frame)]
+    npix = rows * cols
+    planes = [
+        np.frombuffer(_packbits_decode(frame[offsets[k]:offsets[k + 1]],
+                                       npix), dtype=np.uint8)
+        for k in range(n_seg)]
+    if bits == 8 and n_seg >= 1:
+        return planes[0].reshape(rows, cols)
+    if bits == 16 and n_seg >= 2:
+        composite = (planes[0].astype(np.uint16) << 8) \
+            | planes[1].astype(np.uint16)
+        return composite.reshape(rows, cols)
+    raise ValueError(f"RLE frame with {n_seg} segments for "
+                     f"BitsAllocated={bits}")
+
+
+def _decode_encapsulated(fragments, transfer_syntax: str, rows: int,
+                         cols: int, bits: int,
+                         signed: bool) -> np.ndarray:
+    """Decode single-frame encapsulated PixelData (fragment list from
+    the item stream, Basic Offset Table already dropped)."""
+    blob = b"".join(fragments)
+    if transfer_syntax == RLE_LOSSLESS:
+        arr = _decode_rle_frame(blob, rows, cols, bits)
+    elif transfer_syntax in _PIL_SYNTAXES:
+        import io
+
+        from PIL import Image
+        arr = np.asarray(Image.open(io.BytesIO(blob)))
+        if arr.shape[:2] != (rows, cols):
+            raise ValueError(
+                f"decoded frame {arr.shape} does not match "
+                f"Rows/Columns ({rows}, {cols})")
+    else:
+        raise NotImplementedError(
+            f"transfer syntax {transfer_syntax} has no decoder in this "
+            "image (JPEG Lossless needs pydicom+pylibjpeg) — convert "
+            "the series to RLE/JPEG 2000 or NIfTI (data/nifti.py)")
+    if bits == 16:
+        arr = arr.astype(np.uint32).astype(np.uint16)
+        return arr.view(np.int16).copy() if signed else arr
+    return arr.astype(np.int8 if signed else np.uint8)
 
 
 def _parse_value(vr: str, raw: bytes):
@@ -146,6 +266,24 @@ def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
     return pos
 
 
+def _read_fragments(buf: bytes, pos: int, explicit: bool):
+    """Read the encapsulated-PixelData item stream -> (fragment bytes
+    list, end position).  The Basic Offset Table item is dropped."""
+    items = []
+    n = len(buf)
+    while pos + 8 <= n:
+        group, elem, _, length, vpos = _elem_header(buf, pos, explicit)
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            return items[1:], vpos      # drop the offset table
+        if (group, elem) != (0xFFFE, 0xE000) or length == 0xFFFFFFFF:
+            raise ValueError(
+                f"malformed encapsulated PixelData item at byte {pos}")
+        items.append(buf[vpos:vpos + length])
+        pos = vpos + length
+    raise ValueError("encapsulated PixelData missing its sequence "
+                     "delimiter")
+
+
 def _walk(buf: bytes, pos: int, explicit: bool, stop_group=None):
     """Yield (group, elem, vr, raw_value, next_pos) element stream."""
     n = len(buf)
@@ -159,6 +297,13 @@ def _walk(buf: bytes, pos: int, explicit: bool, stop_group=None):
                 raise ValueError(
                     f"undefined length on VR {vr_s} at tag "
                     f"({group:04x},{elem:04x})")
+            if (group, elem) == (0x7FE0, 0x0010):
+                # encapsulated PixelData: item 1 is the Basic Offset
+                # Table, the rest are frame fragments (PS3.5 A.4)
+                fragments, end = _read_fragments(buf, vpos, explicit)
+                yield group, elem, vr_s, fragments, end
+                pos = end
+                continue
             end = _skip_sequence(buf, vpos, explicit)
             yield group, elem, vr_s, None, end
             pos = end
@@ -184,14 +329,23 @@ def read_file(path: str) -> DicomSlice:
                 transfer_syntax = raw.decode("ascii",
                                              "ignore").strip("\x00 ")
         pos = meta_end
-    if transfer_syntax not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE):
+    known = {EXPLICIT_VR_LE, IMPLICIT_VR_LE,
+             DEFLATED_EXPLICIT_VR_LE} | _ENCAPSULATED
+    if transfer_syntax not in known:
         raise NotImplementedError(
-            f"transfer syntax {transfer_syntax} (compressed or big-"
-            f"endian) is not supported by the native reader — convert "
-            f"the series to NIfTI (data/nifti.py)")
-    explicit = transfer_syntax == EXPLICIT_VR_LE
+            f"transfer syntax {transfer_syntax} (unsupported "
+            f"compression or big-endian) — convert the series to "
+            f"NIfTI (data/nifti.py)")
+    if transfer_syntax == DEFLATED_EXPLICIT_VR_LE:
+        import zlib
+        # raw deflate stream (no zlib header), PS3.5 A.5
+        buf = zlib.decompress(buf[pos:], -15)
+        pos = 0
+    # every syntax except implicit VR encodes the dataset explicit-VR
+    explicit = transfer_syntax != IMPLICIT_VR_LE
 
-    elements: Dict[str, object] = {}
+    elements: Dict[str, object] = {
+        "TransferSyntaxUID": transfer_syntax}
     for group, elem, vr, raw, _ in _walk(buf, pos, explicit):
         name_vr = _TAGS.get((group, elem))
         if name_vr is None or raw is None:
@@ -199,7 +353,10 @@ def read_file(path: str) -> DicomSlice:
         name, default_vr = name_vr
         use_vr = vr if (explicit and vr not in ("UN", "")) else default_vr
         if name == "PixelData":
-            elements[name] = raw
+            if isinstance(raw, list):
+                elements["PixelDataFragments"] = raw
+            else:
+                elements[name] = raw
         else:
             elements[name] = _parse_value(use_vr, raw)
     return DicomSlice(elements, path)
@@ -233,15 +390,47 @@ def _ds(*vals) -> bytes:
     return "\\".join(f"{v:g}" for v in vals).encode()
 
 
+def _encapsulate(frame: bytes) -> bytes:
+    """Encapsulated OB PixelData: undefined length, empty Basic Offset
+    Table item, one frame fragment, sequence delimiter (PS3.5 A.4)."""
+    if len(frame) % 2:
+        frame += b"\x00"
+    return (struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+            + struct.pack("<I", 0xFFFFFFFF)
+            + struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+            + struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+            + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+
+
+def _rle_encode_frame(pixels: np.ndarray) -> bytes:
+    """RLE Lossless frame for one int16 slice: MSB + LSB byte planes,
+    each PackBits-encoded, behind the 64-byte offset header."""
+    v = np.ascontiguousarray(pixels, np.int16).view(np.uint16)
+    segs = [_packbits_encode((v >> 8).astype(np.uint8).tobytes()),
+            _packbits_encode((v & 0xFF).astype(np.uint8).tobytes())]
+    segs = [s + b"\x00" * (len(s) % 2) for s in segs]  # even segments
+    offsets = [64, 64 + len(segs[0])]
+    header = struct.pack("<16I", 2, *offsets, *([0] * 13))
+    return header + segs[0] + segs[1]
+
+
 def write_ct_slice(path: str, pixels: np.ndarray, z: float,
                    spacing: Tuple[float, float] = (1.0, 1.0),
                    thickness: float = 1.0, intercept: float = -1024.0,
                    slope: float = 1.0,
                    orientation=(1, 0, 0, 0, 1, 0),
-                   implicit: bool = False) -> str:
-    """Write a single-frame 16-bit CT slice as a Part-10 DICOM file."""
+                   implicit: bool = False,
+                   compression: Optional[str] = None) -> str:
+    """Write a single-frame 16-bit CT slice as a Part-10 DICOM file.
+
+    compression: None (uncompressed), 'rle' (RLE Lossless), 'jpeg2000'
+    (lossless, via PIL), or 'deflated' (Deflated Explicit VR LE).
+    """
     pixels = np.ascontiguousarray(pixels, np.int16)
     rows, cols = pixels.shape
+    if implicit and compression:
+        raise ValueError("encapsulated/deflated syntaxes are "
+                         "explicit-VR only")
 
     body = b""
     if implicit:
@@ -263,10 +452,34 @@ def write_ct_slice(path: str, pixels: np.ndarray, z: float,
     body += enc(0x0028, 0x0103, "US", struct.pack("<H", 1))
     body += enc(0x0028, 0x1052, "DS", _ds(intercept))
     body += enc(0x0028, 0x1053, "DS", _ds(slope))
-    body += enc(0x7FE0, 0x0010, "OW", pixels.tobytes())
 
-    ts = (IMPLICIT_VR_LE if implicit else EXPLICIT_VR_LE).encode()
-    meta = _enc_element(0x0002, 0x0010, "UI", ts)
+    if compression == "rle":
+        ts = RLE_LOSSLESS
+        body += _encapsulate(_rle_encode_frame(pixels))
+    elif compression == "jpeg2000":
+        import io
+
+        from PIL import Image
+        ts = JPEG2000_LOSSLESS
+        # lossless J2K of the two's-complement uint16 view round-trips
+        # int16 exactly
+        bio = io.BytesIO()
+        Image.fromarray(pixels.view(np.uint16)).save(
+            bio, format="JPEG2000", irreversible=False)
+        body += _encapsulate(bio.getvalue())
+    elif compression == "deflated":
+        import zlib
+        ts = DEFLATED_EXPLICIT_VR_LE
+        body += _enc_element(0x7FE0, 0x0010, "OW", pixels.tobytes())
+        co = zlib.compressobj(wbits=-15)
+        body = co.compress(body) + co.flush()
+    elif compression is None:
+        ts = IMPLICIT_VR_LE if implicit else EXPLICIT_VR_LE
+        body += enc(0x7FE0, 0x0010, "OW", pixels.tobytes())
+    else:
+        raise ValueError(f"unknown compression {compression!r}")
+
+    meta = _enc_element(0x0002, 0x0010, "UI", ts.encode())
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM" + meta + body)
     return path

@@ -376,15 +376,77 @@ def test_native_dicom_skips_sequences_and_unknown_tags(tmp_path):
     assert s.ImagePositionPatient[2] == 1.0
 
 
-def test_native_dicom_rejects_compressed_syntax(tmp_path):
-    import struct
+def test_native_dicom_rejects_unknown_syntax(tmp_path):
     from multimodalfusion_tpu.data import dicom
-    ts = b"1.2.840.10008.1.2.4.70"  # JPEG lossless
+    ts = b"1.2.840.10008.1.2.2"  # explicit VR BIG endian: unsupported
     meta = dicom._enc_element(0x0002, 0x0010, "UI", ts)
-    p = str(tmp_path / "jpg.dcm")
+    p = str(tmp_path / "be.dcm")
     open(p, "wb").write(b"\x00" * 128 + b"DICM" + meta)
     with pytest.raises(NotImplementedError, match="NIfTI"):
         dicom.read_file(p)
+
+
+def test_native_dicom_jpeg_lossless_clear_error(tmp_path):
+    """JPEG Lossless SV1 (…1.2.4.70) parses structurally but has no
+    decoder in this image: pixel_array must raise with the remedy."""
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    p = str(tmp_path / "jll.dcm")
+    dicom.write_ct_slice(p, vol[0], z=0.0, compression="rle")
+    raw = open(p, "rb").read()
+    # swap the meta group for one claiming JPEG Lossless (same body)
+    old_meta = dicom._enc_element(0x0002, 0x0010, "UI",
+                                  dicom.RLE_LOSSLESS.encode())
+    new_meta = dicom._enc_element(0x0002, 0x0010, "UI",
+                                  dicom.JPEG_LOSSLESS_SV1.encode())
+    assert raw[132:132 + len(old_meta)] == old_meta
+    p2 = str(tmp_path / "jll2.dcm")
+    open(p2, "wb").write(raw[:132] + new_meta + raw[132 + len(old_meta):])
+    s = dicom.read_file(p2)
+    with pytest.raises(NotImplementedError, match="pylibjpeg"):
+        s.pixel_array
+
+
+def test_packbits_roundtrip_fuzz():
+    """PackBits encoder/decoder identity on runs, literals, and random
+    mixtures (PS3.5 G.3.1)."""
+    from multimodalfusion_tpu.data.dicom import (_packbits_decode,
+                                                 _packbits_encode)
+    rng = np.random.default_rng(0)
+    cases = [b"", b"\x00", b"a" * 500, bytes(range(256)) * 3,
+             b"ab" * 200, b"aaabccccdd" * 37]
+    for _ in range(30):
+        n = int(rng.integers(1, 2000))
+        # low-entropy bytes produce real runs
+        cases.append(rng.integers(0, 4, n).astype(np.uint8).tobytes())
+        cases.append(rng.integers(0, 256, n).astype(np.uint8).tobytes())
+    for data in cases:
+        enc = _packbits_encode(data)
+        assert _packbits_decode(enc, len(data)) == data
+
+
+@pytest.mark.parametrize("compression", ["rle", "jpeg2000", "deflated"])
+def test_native_dicom_compressed_roundtrip(tmp_path, compression):
+    """Compressed transfer syntaxes reproduce the int16 pixels exactly
+    (all three are lossless) and flow through load_scan + HU."""
+    from multimodalfusion_tpu.data import ct_preprocess as ct
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=4)
+    vol[0, 0, 0] = -7      # negative stored value: signed reinterpret
+    d = tmp_path / compression
+    d.mkdir()
+    for i in range(vol.shape[0]):
+        dicom.write_ct_slice(str(d / f"s{i:02d}.dcm"), vol[i],
+                             z=float(i) * 2.0, spacing=(0.7, 0.8),
+                             thickness=2.0, intercept=-1024.0,
+                             compression=compression)
+    slices = dicom.read_series(str(d))
+    assert len(slices) == vol.shape[0]
+    for i, s in enumerate(slices):
+        np.testing.assert_array_equal(s.pixel_array, vol[i])
+    assert slices[0].PixelSpacing == [0.7, 0.8]
+    hu = ct.get_pixels_hu(ct.load_scan(str(d)))
+    np.testing.assert_array_equal(hu, vol.astype(np.int16) - 1024)
 
 
 def test_preprocess_lung_scan_from_native_dicom(tmp_path):

@@ -67,11 +67,15 @@ def raw_base(tmp_path_factory):
         vol[:, 18:46, 14:30] = -850
         vol[:, 18:46, 34:50] = -850
         vol += rng.integers(-5, 5, vol.shape).astype(np.int16)
+        # mixed transfer syntaxes across subjects: the native reader
+        # must ingest uncompressed, RLE and deflated series alike
+        compression = [None, "rle", "deflated"][i % 3]
         for z in range(vol.shape[0]):
             dicom.write_ct_slice(os.path.join(d, f"s{z}.dcm"),
                                  vol[z] + 1024, z=z * 2.0,
                                  spacing=(1.5, 1.5), thickness=2.0,
-                                 intercept=-1024.0)
+                                 intercept=-1024.0,
+                                 compression=compression)
 
     # fold splits over all subjects
     from fixtures import make_splits
