@@ -26,10 +26,11 @@ def _setup():
     from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
                                                    make_optimizer,
                                                    make_steps)
-    # B=32 measured best on the v5e (5.4k bags/s at B=8, 6.4k at 16,
-    # 6.9k at 32 within one session); the reference cannot batch at all
-    # (ragged collate forces batch_size=1, ref README.md:95)
-    B, N, D = 32, 4096, 1024
+    # B=48 measured best on the v5e (B=8 ~0.78x, B=16 ~0.93x, B=32
+    # ~0.93x of the B=48 rate across same-session sweeps; plateau past
+    # B~48); the reference cannot batch at all (ragged collate forces
+    # batch_size=1, ref README.md:95)
+    B, N, D = 48, 4096, 1024
     rng = np.random.default_rng(0)
     cfg = TrainConfig(model_type="path_attention_mil", mode="path",
                       bag_loss="nll_surv", gate_path=True, batch_size=B,

@@ -346,8 +346,12 @@ def slice_group_size(n: int) -> int:
     CRASHES for n < 20 and silently makes the top/low groups overlap
     for n < 40.  Deliberate deviation: the 20-floor is kept but capped
     at n // 2 so the two groups are always disjoint (and short scans
-    still get a meaningful split instead of an error/everything-"top").
+    still get a meaningful split instead of an error/everything-"top");
+    n == 1 keeps its one slice as "top" (k floored at 1) rather than
+    silently dropping the subject from rendering.
     """
+    if n <= 1:
+        return n
     return min(max(int(np.ceil(n * 0.1)), 20), n // 2)
 
 
@@ -508,17 +512,20 @@ def run_omic_branch(cfg_ns) -> int:
     h_args = getattr(cfg_ns, "heatmap_arguments", SimpleNamespace())
     method = getattr(h_args, "method", "ig")
     valid = np.asarray(batch["valid"]) > 0
+    # shared by expected-gradients backgrounds, the beeswarm's color
+    # normalization and the local plots: valid-row features/ids and
+    # this fold's train-cohort membership
+    genomics = np.asarray(batch["genomic"])[valid]
+    ids_valid = np.asarray(subject_ids)[valid]
+    split_df = pd.read_csv(os.path.join(
+        settings["split_dir"],
+        f"splits_{getattr(m, 'which_k', 0)}.csv"))
+    train_rows = np.isin(ids_valid, list(set(split_df["train"].dropna())))
     if method == "expected_gradients":
         from multimodalfusion_tpu.interpret.ig import expected_gradients
-        split_df = pd.read_csv(os.path.join(
-            settings["split_dir"],
-            f"splits_{getattr(m, 'which_k', 0)}.csv"))
-        train_ids = set(split_df["train"].dropna())
-        ids_all = np.asarray(subject_ids)
-        bg_mask = valid & np.isin(ids_all, list(train_ids))
-        background = np.asarray(batch["genomic"])[bg_mask]
+        background = genomics[train_rows]
         if len(background) == 0:       # no train rows loaded: use all
-            background = np.asarray(batch["genomic"])[valid]
+            background = genomics
         attr = expected_gradients(
             risk_fn, jnp.asarray(batch["genomic"]),
             jnp.asarray(background),
@@ -532,7 +539,7 @@ def run_omic_branch(cfg_ns) -> int:
     attr = np.asarray(attr)[valid]  # drop padded rows before pairing ids
     genes = split.genomic_cols
     per_patient = pd.DataFrame(attr, columns=genes)
-    per_patient.insert(0, "subject_id", np.asarray(subject_ids)[valid])
+    per_patient.insert(0, "subject_id", ids_valid)
     per_patient.to_csv(os.path.join(save_dir, "omic_attr_per_patient.csv"),
                        index=False)
     global_df = pd.DataFrame({
@@ -560,17 +567,9 @@ def run_omic_branch(cfg_ns) -> int:
     # cohort's 5-95 percentile range, rows ranked by total |attr|
     from multimodalfusion_tpu.interpret.explanations import \
         global_beeswarm_plot
-    genomics_all = np.asarray(batch["genomic"])[valid]
-    split_df = pd.read_csv(os.path.join(
-        settings["split_dir"],
-        f"splits_{getattr(m, 'which_k', 0)}.csv"))
-    train_ids = set(split_df["train"].dropna())
-    ids_valid = np.asarray(subject_ids)[valid]
-    train_rows = np.isin(ids_valid, list(train_ids))
-    ref_feats = genomics_all[train_rows] if train_rows.any() \
-        else genomics_all
+    ref_feats = genomics[train_rows] if train_rows.any() else genomics
     global_beeswarm_plot(
-        attr, genomics_all, genes,
+        attr, genomics, genes,
         os.path.join(save_dir, "omic_attr_beeswarm.png"),
         ref_features=ref_feats,
         max_display=int(getattr(h_args, "max_display", 20)),
@@ -578,14 +577,12 @@ def run_omic_branch(cfg_ns) -> int:
 
     # per-patient local explanation plots (ref getIndividualSHAP,
     # evaluation.py:1374-1405, driven by create_heatmaps.py:214)
-    h = getattr(cfg_ns, "heatmap_arguments", SimpleNamespace())
-    n_local = getattr(h, "local_n", None)
+    n_local = getattr(h_args, "local_n", None)
     from multimodalfusion_tpu.interpret.explanations import local_attr_plots
     local_dir = ensure_dir(os.path.join(save_dir, "local"))
-    genomics = np.asarray(batch["genomic"])[valid]
     paths = local_attr_plots(
-        attr, genomics, np.asarray(subject_ids)[valid], genes, local_dir,
-        max_display=int(getattr(h, "max_display", 20)),
+        attr, genomics, ids_valid, genes, local_dir,
+        max_display=int(getattr(h_args, "max_display", 20)),
         n_patients=int(n_local) if n_local is not None else None)
     print(f"wrote omic attributions ({len(paths)} local plots) "
           f"-> {save_dir}")

@@ -134,8 +134,12 @@ def emit_heatmap_yamls(results_root: str, out_dir: str,
         folds = summary["folds"].astype(int).tolist() if "folds" in \
             summary else list(range(len(summary)))
         if not all_folds:
-            best = int(np.nanargmax(summary["val_cindex"].values))
-            folds = [folds[best]]
+            vals = summary["val_cindex"].values
+            if np.all(np.isnan(vals)):
+                print(f"{exp_code}: every fold's val_cindex is NaN, "
+                      "skipping")
+                continue
+            folds = [folds[int(np.nanargmax(vals))]]
         exp = os.path.relpath(dirpath, results_root).replace(os.sep,
                                                              "__")
         for k in folds:

@@ -155,7 +155,11 @@ def global_beeswarm_plot(attr: np.ndarray, features: np.ndarray,
     ax.set_ylabel("Genomic Features", fontweight="bold")
     lo, hi = data["xlim"]
     ax.set_xlim(lo, hi)
-    ax.set_xticks(np.arange(lo, hi + 0.01, data["xtick_stride"]))
+    # endpoint epsilon must scale with the stride: near-zero
+    # attributions shrink the stride to ~1e-12 and a fixed +0.01
+    # would make arange allocate billions of ticks
+    stride = data["xtick_stride"]
+    ax.set_xticks(np.arange(lo, hi + stride / 2, stride))
     m = cm.ScalarMappable(cmap="coolwarm")
     m.set_array([0, 1])
     cb = fig.colorbar(m, ax=ax, ticks=[0, 1], aspect=50)

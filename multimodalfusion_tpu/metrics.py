@@ -237,8 +237,11 @@ def cumulative_dynamic_auc(train_event, train_time, test_event, test_time,
     (IPCW-weighted by 1/G(t_i), G from the train cohort) and controls
     those still at risk after t; AUC(t) is the area under the
     tie-pooled weighted ROC.  The summary ``mean_auc`` integrates
-    AUC(t) against the test cohort's KM survival:
-    sum(AUC(t_k) * (S(t_{k-1}) - S(t_k))) / (1 - S(t_max)).
+    AUC(t) against the test cohort's KM survival over the times where
+    AUC is defined: sum_k AUC(t_k) * d_k / sum_k d_k with
+    d_k = S(t_{k-1}) - S(t_k), k ranging over non-NaN AUCs (equal to
+    sksurv's /(1 - S(t_max)) normalization when every time is valid;
+    see the renormalization comment below for why).
 
     Returns (auc_per_time [len(times)], mean_auc).
     """

@@ -323,6 +323,11 @@ def test_global_beeswarm_plot_renders(tmp_path):
     feats_const[:, 2] = 2.0
     global_beeswarm_plot(attr, feats_const, genes,
                          str(tmp_path / "bees_const.png"))
+    # near-zero attributions shrink the x-stride to ~1e-12: the tick
+    # grid must stay bounded (a fixed +0.01 arange epsilon allocated
+    # ~1e10 ticks here)
+    global_beeswarm_plot(attr * 1e-13, feats, genes,
+                         str(tmp_path / "bees_zero.png"))
 
 
 def test_draw_heatmap_roi_screening():
@@ -659,6 +664,20 @@ def test_emit_heatmap_yamls(tmp_path):
                for s in stems) == 3
     assert sum(s.startswith("heatmap_config_lung__3foldcv__PATH")
                for s in stems) == 2  # fold 2 ckpt missing
+
+    # an experiment whose every fold is NaN (e.g. single-sample val
+    # splits) is skipped instead of crashing nanargmax
+    dnan = root / "lung" / "3foldcv" / "OMICS_a0.0_s9"
+    os.makedirs(dnan)
+    pd.DataFrame({"folds": [0, 1],
+                  "val_cindex": [float("nan")] * 2}).to_csv(
+        dnan / "summary.csv")
+    (dnan / "s_0_minloss_checkpoint.msgpack").write_bytes(b"x")
+    written = emit_heatmap_yamls(str(root), str(tmp_path / "cfgs_nan"),
+                                 template=str(tpl))
+    assert not any("a0.0_s9" in os.path.basename(p) for p in written)
+    # the healthy experiment is still emitted
+    assert names <= {os.path.basename(p) for p in written}
 
     # wired into the CLI
     rc = sm(["--results_root", str(root),

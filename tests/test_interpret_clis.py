@@ -155,8 +155,13 @@ def test_radio_slice_group_size_edges():
         assert k == expect, (n, k)
         # disjoint: top ranks [0, k), low ranks [n-k, n)
         assert 2 * k <= n
-    # a 1-slice scan: no top/low split possible, k = 0 (all "mid")
-    assert slice_group_size(1) == 0
+    # a 1-slice scan keeps its slice as "top" (the labeling ternary
+    # checks top first, so the low group stays empty) instead of
+    # dropping the subject from rendering entirely
+    assert slice_group_size(1) == 1
+    assert slice_group_size(0) == 0
+    # n=2/3: one top, one low, disjoint
+    assert slice_group_size(2) == 1 and slice_group_size(3) == 1
     # 40+ slices: reference semantics exactly (max(ceil(n*0.1), 20))
     assert slice_group_size(40) == 20
     assert slice_group_size(201) == 21
