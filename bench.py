@@ -63,10 +63,12 @@ def _setup():
 
 def _sync(jax, tree):
     """True device sync: through the axon tunnel block_until_ready is a
-    no-op, so force a host readback of one leaf."""
-    import numpy as _np
+    no-op, so force a host readback — of a REDUCED SCALAR, because
+    np.asarray(leaf) would pull the whole leaf through the ~12 MB/s
+    relay (~tens of ms for a weight matrix) inside the timed window."""
+    import jax.numpy as _jnp
     leaf = jax.tree.leaves(tree)[0]
-    _np.asarray(leaf).ravel()[:1]
+    float(_jnp.sum(leaf))
     return tree
 
 

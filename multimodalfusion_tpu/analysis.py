@@ -167,13 +167,18 @@ def pivot_summary(table: pd.DataFrame,
 
     ``table`` is summarize_experiments output; its ``experiment``
     column is the cohort__splits__EXPCODE relpath, split here into the
-    cohort (first component) and the model code (last).
+    cohort (first component) and the model code (last).  When
+    results_root pointed directly AT a cohort directory the relpath
+    has no cohort component (splits__EXPCODE or bare EXPCODE) — those
+    rows get the "(root)" column instead of mislabeling the splits
+    dir as a cohort.
     """
     if not len(table):
         return pd.DataFrame()
     parts = table["experiment"].astype(str).str.split("__")
     df = table.copy()
-    df["cohort"] = parts.str[0]
+    df["cohort"] = np.where(parts.str.len() >= 3, parts.str[0],
+                            "(root)")
     df["model"] = parts.str[-1]
     return df.pivot_table(index="model", columns="cohort",
                           values=value_col, aggfunc="mean").round(4)

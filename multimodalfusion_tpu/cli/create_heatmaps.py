@@ -517,10 +517,13 @@ def run_omic_branch(cfg_ns) -> int:
     # this fold's train-cohort membership
     genomics = np.asarray(batch["genomic"])[valid]
     ids_valid = np.asarray(subject_ids)[valid]
+    # the split csv is guaranteed readable here: whole_split above
+    # already loaded the cohort from this same file
     split_df = pd.read_csv(os.path.join(
         settings["split_dir"],
         f"splits_{getattr(m, 'which_k', 0)}.csv"))
-    train_rows = np.isin(ids_valid, list(set(split_df["train"].dropna())))
+    train_rows = np.isin(ids_valid,
+                         list(set(split_df["train"].dropna())))
     if method == "expected_gradients":
         from multimodalfusion_tpu.interpret.ig import expected_gradients
         background = genomics[train_rows]

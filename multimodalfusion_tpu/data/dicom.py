@@ -268,13 +268,24 @@ def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
 
 def _read_fragments(buf: bytes, pos: int, explicit: bool):
     """Read the encapsulated-PixelData item stream -> (fragment bytes
-    list, end position).  The Basic Offset Table item is dropped."""
+    list, end position).
+
+    PS3.5 A.4 mandates the first item be the Basic Offset Table
+    (possibly zero-length), but non-conformant writers omit it; the
+    first item is only dropped when it plausibly IS a BOT — empty, or
+    u32-aligned with a 0 first entry (frame 1's offset is always 0;
+    no codec bitstream starts with four zero bytes: RLE's first u32 is
+    a 1..15 segment count, JPEG starts FFD8, J2K FF4F/jP box)."""
     items = []
     n = len(buf)
     while pos + 8 <= n:
         group, elem, _, length, vpos = _elem_header(buf, pos, explicit)
         if (group, elem) == (0xFFFE, 0xE0DD):
-            return items[1:], vpos      # drop the offset table
+            if items and (len(items[0]) == 0 or (
+                    len(items[0]) % 4 == 0 and
+                    struct.unpack("<I", items[0][:4])[0] == 0)):
+                items = items[1:]       # drop the offset table
+            return items, vpos
         if (group, elem) != (0xFFFE, 0xE000) or length == 0xFFFFFFFF:
             raise ValueError(
                 f"malformed encapsulated PixelData item at byte {pos}")

@@ -86,17 +86,30 @@ class PILSlide(ArraySlide):
             max_decode_bytes = int(os.environ.get(
                 "MMF_TPU_WSI_MAX_BYTES", self.DEFAULT_MAX_BYTES))
         img = Image.open(path)
-        # page sizes come from the headers — no pixels decoded yet
+        # page sizes/modes come from the headers — no pixels decoded yet
         sizes = []
+        native_peak = 0
+        # bytes/px of PIL's in-memory storage per mode (convert("RGB")
+        # first decodes the page in its NATIVE mode, so a 16-bit RGBA
+        # page costs ~8 B/px transiently before the 3 B/px copy)
+        mode_bpp = {"1": 1, "L": 1, "P": 1, "LA": 4, "PA": 4, "I;16": 2,
+                    "I;16B": 2, "I;16L": 2, "I": 4, "F": 4, "RGB": 4,
+                    "YCbCr": 4, "LAB": 4, "HSV": 4, "RGBX": 4,
+                    "RGBA": 4, "CMYK": 4, "RGBa": 4, "I;16N": 2}
         try:
             i = 0
             while True:
                 img.seek(i)
                 sizes.append(img.size)  # (w, h)
+                w, h = img.size
+                native_peak = max(native_peak,
+                                  mode_bpp.get(img.mode, 4) * w * h)
                 i += 1
         except EOFError:
             pass
-        total = sum(3 * w * h for (w, h) in sizes)
+        # peak = all retained RGB levels + the largest page's native-
+        # mode decode buffer (transiently alive during convert)
+        total = sum(3 * w * h for (w, h) in sizes) + native_peak
         if total > max_decode_bytes:
             raise ValueError(
                 f"{path}: decoding {len(sizes)} page(s) "

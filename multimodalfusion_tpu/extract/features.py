@@ -25,8 +25,12 @@ class Embedder:
     def __init__(self, weights_path: Optional[str] = None,
                  variables=None, batch_size: int = 128,
                  dtype=jnp.bfloat16, image_size: int = 224,
-                 mesh=None, allow_random: bool = False):
-        self.model = ResNet50Trunc(dtype=dtype)
+                 mesh=None, allow_random: bool = False,
+                 s2d_stem: bool = True):
+        # space-to-depth stem by default: same weights, same outputs
+        # (to fp tolerance), better MXU utilization on the 3-channel
+        # 7x7 conv (see models/resnet.py::_Stem)
+        self.model = ResNet50Trunc(dtype=dtype, s2d_stem=s2d_stem)
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.batch_size = batch_size

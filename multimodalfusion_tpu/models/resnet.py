@@ -57,17 +57,55 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class _Stem(nn.Module):
+    """conv1: 7x7 stride-2 on 3-channel input, params in the canonical
+    torchvision shape [7, 7, 3, 64].
+
+    With ``s2d=True`` the SAME weights run as an equivalent 4x4
+    stride-1 conv on a space-to-depth input ([B, H/2, W/2, 12]): the
+    MLPerf-ResNet TPU trick.  A 3-channel 7x7 conv feeds the MXU's
+    128-wide contraction with only 7*3=21 useful lanes; packing the
+    2x2 pixel blocks into channels quadruples the contraction depth
+    (4*4*12=192 taps) and halves the spatial extent.  The kernel is
+    zero-padded 7->8 on the top/left then regrouped, so outputs are
+    bit-identical in exact arithmetic (tested to fp tolerance).
+    """
+    dtype: Any = jnp.float32
+    s2d: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", he_normal, (7, 7, 3, 64),
+                            jnp.float32)
+        B, H, W, C = x.shape
+        if not (self.s2d and H % 2 == 0 and W % 2 == 0):
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # pad taps 7->8 at the front: row offset p-3 becomes
+        # 2*(cell m - 2) + r with p+1 = 2m + r, m in 0..3, r in 0..1
+        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        kp = kp.reshape(4, 2, 4, 2, C, 64).transpose(0, 2, 1, 3, 4, 5)
+        kp = kp.reshape(4, 4, 4 * C, 64)  # channel order (r, s, c)
+        xs = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2,
+                                                    4 * C)
+        # output i reads cells i-2..i+1 -> asymmetric (2, 1) padding
+        return jax.lax.conv_general_dilated(
+            xs, kp.astype(self.dtype), (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet50Trunc(nn.Module):
     """images NHWC float [B, H, W, 3] -> embeddings [B, 1024]."""
     dtype: Any = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
                  return_spatial: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, kernel_init=he_normal,
-                    name="conv1")(x)
+        x = _Stem(dtype=self.dtype, s2d=self.s2d_stem, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)

@@ -407,6 +407,32 @@ def test_native_dicom_jpeg_lossless_clear_error(tmp_path):
         s.pixel_array
 
 
+def test_native_dicom_missing_offset_table(tmp_path):
+    """PS3.5 mandates a Basic Offset Table item, but non-conformant
+    writers omit it: the first fragment must then be decoded as pixel
+    data, not silently discarded as the BOT.  A populated BOT (one
+    0 entry) must still be dropped."""
+    import struct
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    p = str(tmp_path / "bot.dcm")
+    dicom.write_ct_slice(p, vol[0], z=0.0, compression="rle")
+    want = dicom.read_file(p).pixel_array
+    raw = open(p, "rb").read()
+    empty_bot = struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+    assert raw.count(empty_bot) == 1
+    # (a) BOT item removed entirely
+    p2 = str(tmp_path / "nobot.dcm")
+    open(p2, "wb").write(raw.replace(empty_bot, b""))
+    np.testing.assert_array_equal(dicom.read_file(p2).pixel_array, want)
+    # (b) populated single-frame BOT (one u32 offset, value 0)
+    p3 = str(tmp_path / "fullbot.dcm")
+    full_bot = struct.pack("<HHI", 0xFFFE, 0xE000, 4) + struct.pack(
+        "<I", 0)
+    open(p3, "wb").write(raw.replace(empty_bot, full_bot))
+    np.testing.assert_array_equal(dicom.read_file(p3).pixel_array, want)
+
+
 def test_packbits_roundtrip_fuzz():
     """PackBits encoder/decoder identity on runs, literals, and random
     mixtures (PS3.5 G.3.1)."""

@@ -592,6 +592,13 @@ def test_pivot_summary_and_bar(tmp_path):
     assert os.path.getsize(out) > 1000
     # empty table degrades gracefully
     assert analysis.pivot_summary(pd.DataFrame()).empty
+    # results_root pointed AT a cohort dir: no cohort path component,
+    # so the splits dir must NOT masquerade as a cohort column
+    table_b = analysis.summarize_experiments(str(tmp_path / "res" /
+                                                 "brain"))
+    pv_b = analysis.pivot_summary(table_b)
+    assert list(pv_b.columns) == ["(root)"]
+    assert pv_b.loc["OMICS_a0.0_s1", "(root)"] == pytest.approx(0.71)
 
     rc = sm(["--results_root", str(tmp_path / "res"),
              "--save_dir", str(tmp_path / "rep"), "--pivot"])

@@ -92,6 +92,25 @@ def test_port_and_forward_parity(torch_model):
                                atol=2e-4)
 
 
+def test_s2d_stem_equals_plain_stem(torch_model):
+    """The space-to-depth stem (models/resnet.py::_Stem, MLPerf TPU
+    trick) must produce the same embeddings as the canonical 7x7
+    stride-2 conv from the SAME ported torchvision weights."""
+    variables = resnet.port_torch_state_dict(torch_model.state_dict())
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 224, 224, 3)).astype(np.float32))
+    plain = resnet.ResNet50Trunc().apply(variables, x)
+    s2d = resnet.ResNet50Trunc(s2d_stem=True).apply(variables, x)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(plain),
+                               rtol=1e-4, atol=1e-5)
+    # odd spatial dims can't be space-to-depth'd: falls back cleanly
+    xo = jnp.asarray(rng.normal(size=(1, 63, 63, 3)).astype(np.float32))
+    plain_o = resnet.ResNet50Trunc().apply(variables, xo)
+    s2d_o = resnet.ResNet50Trunc(s2d_stem=True).apply(variables, xo)
+    np.testing.assert_allclose(np.asarray(s2d_o), np.asarray(plain_o),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_random_init_shapes():
     import jax
     model = resnet.ResNet50Trunc()

@@ -128,6 +128,17 @@ def test_pil_slide_size_gate(tmp_path, slide, monkeypatch):
         wsi.PILSlide(p)
     monkeypatch.setenv("MMF_TPU_WSI_MAX_BYTES", str(1 << 30))
     assert wsi.PILSlide(p).level_count == 3
+    # the estimate must include the page's NATIVE-mode decode buffer
+    # (convert("RGB") decodes 16-bit/float pages at their full depth
+    # before the 3 B/px copy): an I;16 page of the same size needs a
+    # bigger budget than 3 B/px would suggest
+    p16 = str(tmp_path / "slide16.tiff")
+    h, w = slide.levels[0].shape[:2]
+    Image.fromarray(
+        (slide.levels[0][..., 0].astype(np.uint16) << 8)).save(p16)
+    with pytest.raises(ValueError, match="budget"):
+        wsi.PILSlide(p16, max_decode_bytes=int(3.5 * w * h))
+    assert wsi.PILSlide(p16, max_decode_bytes=6 * w * h).level_count == 1
 
 
 def test_patching_and_feature_cli(tmp_path, slide):

@@ -29,8 +29,12 @@ sys.path.insert(0, REPO)
 
 
 def _sync(jax, tree):
+    # scalar readback: block_until_ready is a no-op through the relay,
+    # and reading back a full weight leaf would add ~tens of ms at the
+    # relay's ~12 MB/s to every timed window
+    import jax.numpy as jnp
     leaf = jax.tree.leaves(tree)[0]
-    np.asarray(leaf).ravel()[:1]
+    float(jnp.sum(leaf))
     return tree
 
 
