@@ -43,6 +43,11 @@ def build_parser():
                    default=False,
                    help="proceed with a randomly initialized ResNet50 "
                         "(test/debug only — embeddings are meaningless)")
+    p.add_argument("--no_s2d_stem", action="store_true",
+                   default=False,
+                   help="run the canonical 7x7/s2 stem conv "
+                        "instead of the (fp-equal, faster) "
+                        "space-to-depth form")
     return p
 
 
@@ -98,7 +103,8 @@ def main(argv=None) -> int:
                         mesh=_maybe_mesh(args.data_parallel),
                         batch_size=args.batch_size,
                         image_size=args.target_patch_size,
-                        allow_random=args.allow_random_weights)
+                        allow_random=args.allow_random_weights,
+                        s2d_stem=not args.no_s2d_stem)
 
     patches_dir = os.path.join(args.data_h5_dir, "patches")
     if args.csv_path:

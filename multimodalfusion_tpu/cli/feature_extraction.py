@@ -49,6 +49,11 @@ def build_parser():
                    default=False,
                    help="proceed with a randomly initialized ResNet50 "
                         "(test/debug only — embeddings are meaningless)")
+    p.add_argument("--no_s2d_stem", action="store_true",
+                   default=False,
+                   help="run the canonical 7x7/s2 stem conv "
+                        "instead of the (fp-equal, faster) "
+                        "space-to-depth form")
     return p
 
 
@@ -140,7 +145,8 @@ def main(argv=None) -> int:
     embedder = Embedder(weights_path=args.weights,
                         batch_size=args.batch_size,
                         mesh=_maybe_mesh(args.data_parallel),
-                        allow_random=args.allow_random_weights)
+                        allow_random=args.allow_random_weights,
+                        s2d_stem=not args.no_s2d_stem)
     out_root = ensure_dir(os.path.join(args.output_dir, args.cancer_type))
     not_processed = []
 

@@ -81,11 +81,18 @@ class Embedder:
             [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
 
     def embed_images(self, images: np.ndarray) -> np.ndarray:
-        """Any number of NHWC images -> [N, 1024] float32 features."""
+        """Any number of NHWC images -> [N, 1024] float32 features.
+
+        Double-buffered: chunk k+1 is dispatched before chunk k's
+        features are read back, so the host transfer + readback of one
+        chunk overlaps the device compute of the next (jax dispatch is
+        async; np.asarray is the only blocking point).
+        """
         if images.shape[0] == 0:
             return np.zeros((0, 1024), np.float32)
         # resize short batches up to the fixed signature to avoid retraces
         outs = []
+        pending = None  # (device feats, valid row count)
         for start in range(0, images.shape[0], self.batch_size):
             chunk = images[start:start + self.batch_size]
             n = chunk.shape[0]
@@ -93,7 +100,11 @@ class Embedder:
             if self.mesh is not None:
                 padded = jax.device_put(padded, self._batch_sharding)
             feats = self._embed(self.variables, padded)
-            outs.append(np.asarray(feats[:n], np.float32))
+            if pending is not None:
+                outs.append(np.asarray(pending[0][:pending[1]],
+                                       np.float32))
+            pending = (feats, n)
+        outs.append(np.asarray(pending[0][:pending[1]], np.float32))
         return np.concatenate(outs, axis=0)
 
     def embed_slices(self, slices: np.ndarray) -> np.ndarray:
