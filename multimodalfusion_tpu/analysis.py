@@ -149,8 +149,15 @@ def summarize_experiments(results_root: str,
                 dirpath, results_root).replace(os.sep, "__")}
             for col in df.columns:
                 if col.endswith("cindex") or col.endswith("ibs"):
-                    row[f"{col}_mean"] = float(np.nanmean(df[col]))
-                    row[f"{col}_std"] = float(np.nanstd(df[col]))
+                    vals = df[col].to_numpy(float)
+                    any_finite = np.isfinite(vals).any()
+                    # an all-NaN column (e.g. 1-sample val splits) is a
+                    # legitimate state: report NaN without numpy's
+                    # empty-slice RuntimeWarning
+                    row[f"{col}_mean"] = float(np.nanmean(vals)) \
+                        if any_finite else float("nan")
+                    row[f"{col}_std"] = float(np.nanstd(vals)) \
+                        if any_finite else float("nan")
             row["n_folds"] = len(df)
             rows.append(row)
     return pd.DataFrame(rows).sort_values("experiment").reset_index(
