@@ -150,14 +150,20 @@ def summarize_experiments(results_root: str,
             for col in df.columns:
                 if col.endswith("cindex") or col.endswith("ibs"):
                     vals = df[col].to_numpy(float)
-                    any_finite = np.isfinite(vals).any()
                     # an all-NaN column (e.g. 1-sample val splits) is a
                     # legitimate state: report NaN without numpy's
-                    # empty-slice RuntimeWarning
-                    row[f"{col}_mean"] = float(np.nanmean(vals)) \
-                        if any_finite else float("nan")
-                    row[f"{col}_std"] = float(np.nanstd(vals)) \
-                        if any_finite else float("nan")
+                    # empty-slice RuntimeWarning.  ~isnan, NOT isfinite:
+                    # an inf value (an ibs blow-up) must surface as inf,
+                    # exactly as np.nanmean would report it
+                    any_val = (~np.isnan(vals)).any()
+                    # errstate: nanstd of a column containing inf hits
+                    # inf-inf internally; the NaN std it returns (next
+                    # to the inf mean) is the right report, not a warning
+                    with np.errstate(invalid="ignore"):
+                        row[f"{col}_mean"] = float(np.nanmean(vals)) \
+                            if any_val else float("nan")
+                        row[f"{col}_std"] = float(np.nanstd(vals)) \
+                            if any_val else float("nan")
             row["n_folds"] = len(df)
             rows.append(row)
     return pd.DataFrame(rows).sort_values("experiment").reset_index(

@@ -507,6 +507,31 @@ def test_summarize_experiments(tmp_path):
     assert a["val_cindex_mean"] == pytest.approx(0.725)
 
 
+def test_summarize_experiments_nan_inf_columns(tmp_path):
+    """All-NaN columns report NaN silently; an inf value (e.g. an ibs
+    blow-up on a degenerate split) must SURFACE as an inf mean rather
+    than be masked to NaN — and neither case may warn."""
+    import os
+    import warnings
+
+    import pandas as pd
+    for exp, vals in (("ALLNAN", [np.nan, np.nan]),
+                      ("ALLINF", [np.inf, np.inf]),
+                      ("MIXED", [0.7, 0.8, np.nan])):
+        d = tmp_path / exp
+        os.makedirs(d)
+        pd.DataFrame({"folds": range(len(vals)),
+                      "val_cindex": vals}).to_csv(d / "summary.csv")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        df = analysis.summarize_experiments(str(tmp_path))
+    r = df.set_index("experiment")
+    assert np.isnan(r.loc["ALLNAN", "val_cindex_mean"])
+    assert np.isinf(r.loc["ALLINF", "val_cindex_mean"])
+    assert r.loc["MIXED", "val_cindex_mean"] == pytest.approx(0.75)
+    assert r.loc["MIXED", "val_cindex_std"] == pytest.approx(0.05)
+
+
 def test_patch_mosaic():
     rng = np.random.default_rng(0)
     patches = rng.integers(0, 256, size=(7, 32, 32, 3), dtype=np.uint8)

@@ -12,38 +12,23 @@ prints one JSON line:
     {"s2d_patches_per_sec": ..., "plain_patches_per_sec": ...,
      "s2d_over_plain": ...}
 
+Each arm's pipeline is built and compiled ONCE via bench.py's shared
+harness (the exact headline measurement), then the timed windows are
+interleaved s2d/plain/s2d/... so chip drift cancels; bench.py's wedge
+watchdog covers a mid-measurement relay outage.
+
 Run on the real chip (no JAX_PLATFORMS=cpu):  python tools/bench_s2d.py
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
-import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
-
-def _measure(s2d: bool, batch_size: int = 128, iters: int = 80) -> float:
-    import jax.numpy as jnp
-    from multimodalfusion_tpu.extract.features import Embedder
-    emb = Embedder(batch_size=batch_size, dtype=jnp.bfloat16,
-                   allow_random=True, s2d_stem=s2d)
-    rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 256, size=(batch_size, 224, 224, 3),
-                        dtype=np.uint8)
-    jimgs = jnp.asarray(imgs)
-    out = emb._embed(emb.variables, jimgs)
-    float(jnp.sum(out))  # sync incl. compile (block_until_ready is a
-    # no-op through the relay — CLAUDE.md gotcha)
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = None
-        for _ in range(iters):
-            outs = emb._embed(emb.variables, jimgs)
-        float(jnp.sum(outs))
-        best = max(best, batch_size * iters / (time.perf_counter() - t0))
-    return best
+from bench import _start_watchdog, make_extraction_setup, time_extraction
 
 
 def main():
@@ -53,15 +38,18 @@ def main():
         print("refusing to A/B on CPU: this measures the TPU stem trade",
               file=sys.stderr)
         return 1
-    # interleave A/B/A/B and keep each arm's best to cancel chip drift
-    s2d = plain = 0.0
-    for _ in range(2):
-        s2d = max(s2d, _measure(True))
-        plain = max(plain, _measure(False))
+    wd = _start_watchdog(phase="s2d A/B")
+    arms = {True: make_extraction_setup(s2d_stem=True),
+            False: make_extraction_setup(s2d_stem=False)}
+    best = {True: 0.0, False: 0.0}
+    for _ in range(3):  # interleaved reps cancel chip drift
+        for s2d, (emb, jimgs) in arms.items():
+            best[s2d] = max(best[s2d], time_extraction(emb, jimgs))
+    wd.set()
     print(json.dumps({
-        "s2d_patches_per_sec": round(s2d, 1),
-        "plain_patches_per_sec": round(plain, 1),
-        "s2d_over_plain": round(s2d / plain, 4),
+        "s2d_patches_per_sec": round(best[True], 1),
+        "plain_patches_per_sec": round(best[False], 1),
+        "s2d_over_plain": round(best[True] / best[False], 4),
         "device": str(dev),
     }))
     return 0

@@ -14,11 +14,14 @@ def ci(vals, n=10000, seed=0):
     return vals.mean(), np.percentile(boots, 2.5), np.percentile(boots, 97.5)
 
 def ci_delta(a, b, n=10000, seed=0):
-    rng = np.random.default_rng(seed)
+    """PAIRED bootstrap: both arms ran the identical split CSVs, so each
+    resample draws the same fold indexes from both (exploiting the
+    fold-level correlation; independent draws would inflate the CI)."""
     a, b = np.asarray(a, float), np.asarray(b, float)
-    ia = rng.integers(0, len(a), size=(n, len(a)))
-    ib = rng.integers(0, len(b), size=(n, len(b)))
-    boots = b[ib].mean(axis=1) - a[ia].mean(axis=1)
+    assert len(a) == len(b), "paired delta needs equal-length fold lists"
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(a), size=(n, len(a)))
+    boots = (b - a)[idx].mean(axis=1)
     return b.mean() - a.mean(), np.percentile(boots, 2.5), np.percentile(boots, 97.5)
 
 if __name__ == "__main__":
