@@ -1,0 +1,127 @@
+"""Single-file model export for serving (jax.export / StableHLO).
+
+No reference equivalent: the reference deploys by torch.load-ing a
+checkpoint into the full model codebase.  Here the jitted scoring
+function is exported WITH its weights into one portable StableHLO
+artifact that any JAX runtime for the listed platforms can execute —
+no multimodalfusion_tpu (or flax) needed at serving time:
+
+    blob = export_scorer(model, variables, cfg)       # train side
+    scorer = load_scorer(blob)                        # serving side
+    out = scorer(batch)    # {"risk": ..., "hazards": ..., "S": ...}
+
+Shapes are fixed at export time (batch_size / bag_len); the serving
+side pads exactly like training did (masks make padding exact, see
+ops/mil_attention.py).  Weights are baked into the artifact as
+constants — one file is the whole deployment.
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional, Sequence
+
+import numpy as np
+
+PATH_FEAT_DIM = 1024      # ResNet50-trunc features (models/resnet.py)
+PRETRAINED_DIM = 256      # stage-3 embedding width (ref 256-d)
+
+
+def example_batch(cfg, batch_size: int = 8, bag_len: int = 512):
+    """Loader-style batch of ZEROS with the right shapes/dtypes for
+    ``engine.train.model_inputs(cfg, ...)`` — shapes are all that
+    tracing needs."""
+    B, N = batch_size, bag_len
+    batch = {}
+    if cfg.pretrained:
+        for k in ("h_radio", "h_path", "h_omic"):
+            batch[k] = np.zeros((B, PRETRAINED_DIM), np.float32)
+        batch["valid"] = np.ones((B,), np.float32)
+        return batch
+    if "radio" in cfg.mode:
+        n_mod = max(len(cfg.modalities), 1)
+        batch["radio_bags"] = np.zeros((B, N, n_mod * PATH_FEAT_DIM),
+                                       np.float32)
+        batch["radio_mask"] = np.ones((B, N), np.float32)
+    if "path" in cfg.mode:
+        batch["path_bags"] = np.zeros((B, N, PATH_FEAT_DIM), np.float32)
+        batch["path_mask"] = np.ones((B, N), np.float32)
+    if "omic" in cfg.mode:
+        if cfg.omic_input_dim <= 0:
+            raise ValueError("cfg.omic_input_dim must be set to export "
+                             "an omic model")
+        batch["genomic"] = np.zeros((B, cfg.omic_input_dim), np.float32)
+    if not batch:
+        raise NotImplementedError(cfg.mode)
+    return batch
+
+
+def export_scorer(model, variables, cfg, batch_size: int = 8,
+                  bag_len: int = 512,
+                  platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize ``model.apply(variables, deterministic=True, **inputs)``
+    (weights closed over as constants) for the given platforms
+    (default: the current backend).  Returns the artifact bytes."""
+    import jax
+    from jax import export as jexport
+
+    from multimodalfusion_tpu.engine.train import model_inputs
+
+    kwargs = {k: np.asarray(v) for k, v in model_inputs(
+        cfg, example_batch(cfg, batch_size, bag_len)).items()}
+
+    def score(kw):
+        out = model.apply(variables, deterministic=True, **kw)
+        # keep only the serving outputs: A_raw/features carry
+        # interpretability escapes with model-internal structure
+        return {k: out[k] for k in ("risk", "hazards", "S")
+                if out.get(k) is not None}
+
+    exp = jexport.export(
+        jax.jit(score),
+        platforms=list(platforms) if platforms else None)(kwargs)
+    return exp.serialize()
+
+
+def load_scorer(blob: bytes):
+    """Deserialize an exported artifact -> ``scorer(batch_dict)``.
+
+    The callable takes the model-input dict (the exact keys/shapes
+    baked at export; see the sidecar signature) and returns the output
+    dict.  Needs only jax — no model code."""
+    from jax import export as jexport
+    exp = jexport.deserialize(bytearray(blob))
+
+    def scorer(kwargs):
+        return exp.call({k: np.asarray(v) for k, v in kwargs.items()})
+
+    scorer.exported = exp
+    return scorer
+
+
+def save_scorer(path: str, model, variables, cfg, batch_size: int = 8,
+                bag_len: int = 512,
+                platforms: Optional[Sequence[str]] = None) -> dict:
+    """export_scorer + write the artifact and a ``<path>.json`` sidecar
+    documenting the input signature.  Returns the sidecar dict."""
+    from multimodalfusion_tpu.engine.train import model_inputs
+    blob = export_scorer(model, variables, cfg, batch_size, bag_len,
+                         platforms)
+    with open(path, "wb") as f:
+        f.write(blob)
+    kwargs = model_inputs(cfg, example_batch(cfg, batch_size, bag_len))
+    sidecar = {
+        "format": "jax.export StableHLO",
+        "model_type": cfg.model_type,
+        "mode": cfg.mode,
+        "batch_size": batch_size,
+        "bag_len": bag_len,
+        "platforms": list(platforms) if platforms else None,
+        "inputs": {k: {"shape": list(np.asarray(v).shape),
+                       "dtype": str(np.asarray(v).dtype)}
+                   for k, v in kwargs.items()},
+        "outputs": ["risk", "hazards", "S"],
+    }
+    with open(path + ".json", "w") as f:
+        json.dump(sidecar, f, indent=2)
+        f.write("\n")
+    return sidecar

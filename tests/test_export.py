@@ -1,0 +1,124 @@
+"""Single-file serving export (utils/model_export.py + cli/export_model):
+jax.export StableHLO artifacts with the weights baked in must reproduce
+the checkpoint's outputs exactly — loadable with NO model code."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                               model_inputs)
+from multimodalfusion_tpu.utils.model_export import (example_batch,
+                                                     export_scorer,
+                                                     load_scorer)
+
+
+def _init(model, cfg, batch_size, bag_len=64):
+    kw = {k: jnp.asarray(v) for k, v in model_inputs(
+        cfg, example_batch(cfg, batch_size, bag_len)).items()}
+    return dict(model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           deterministic=True, **kw))
+
+
+def _roundtrip(cfg, probe, bag_len=64, rtol=2e-5):
+    model = build_model(cfg)
+    variables = _init(model, cfg, next(iter(probe.values())).shape[0],
+                      bag_len)
+    blob = export_scorer(model, variables, cfg,
+                         batch_size=next(iter(probe.values())).shape[0],
+                         bag_len=bag_len, platforms=["cpu"])
+    got = load_scorer(blob)(probe)
+    want = model.apply(variables, deterministic=True,
+                       **{k: jnp.asarray(v) for k, v in probe.items()})
+    assert got, "no outputs in artifact"
+    for k in got:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]), rtol=rtol,
+                                   atol=1e-6)
+    return sorted(got)
+
+
+def test_export_maxnet_cox_roundtrip():
+    rng = np.random.default_rng(1)
+    cfg = TrainConfig(model_type="max_net", mode="omic",
+                      omic_input_dim=36, bag_loss="cox_surv")
+    keys = _roundtrip(cfg, {"genomic_features": rng.normal(
+        size=(4, 36)).astype(np.float32)})
+    assert keys == ["risk"]  # scalar-risk family: no hazards
+
+
+def test_export_path_amil_nll_roundtrip():
+    rng = np.random.default_rng(2)
+    cfg = TrainConfig(model_type="path_attention_mil", mode="path",
+                      bag_loss="nll_surv", gate_path=True)
+    keys = _roundtrip(cfg, {
+        "bags": rng.normal(size=(2, 64, 1024)).astype(np.float32),
+        "mask": (rng.uniform(size=(2, 64)) < 0.8).astype(np.float32)})
+    assert keys == ["S", "hazards", "risk"]
+
+
+def test_export_pretrained_head_roundtrip():
+    rng = np.random.default_rng(3)
+    cfg = TrainConfig(model_type="mm_attention_mil",
+                      mode="radio_path_omic", pretrained=True,
+                      train_type="late-fcnn", bag_loss="nll_surv",
+                      n_layers=1)
+    probe = {f"h_{m}": rng.normal(size=(4, 256)).astype(np.float32)
+             for m in ("radio", "path", "omic")}
+    probe["valid"] = np.ones((4,), np.float32)
+    keys = _roundtrip(cfg, probe)
+    assert "risk" in keys
+
+
+def test_export_requires_omic_dim():
+    cfg = TrainConfig(model_type="max_net", mode="omic",
+                      omic_input_dim=0)
+    with pytest.raises(ValueError, match="omic_input_dim"):
+        example_batch(cfg)
+
+
+def test_export_cli_on_trained_experiment(tmp_path):
+    """Train a tiny real experiment through the stage-2 CLI, export fold
+    0 with --check (the CLI's own round-trip assertion), and serve the
+    artifact standalone — including the data-derived omic width being
+    recovered from the checkpoint."""
+    from fixtures import make_cohort_csv, make_splits
+
+    from multimodalfusion_tpu.cli.export_model import main as export_main
+    from multimodalfusion_tpu.cli.main import main as cli_main
+
+    base = tmp_path
+    _, df, _ = make_cohort_csv(str(base / "dataset_csv" / "brain"),
+                               n=30, seed=5)
+    make_splits(str(base / "splits" / "brain" / "1foldcv"), df, k=1,
+                val_frac=0.3, seed=5)
+    rc = cli_main([
+        "--cancer_type", "brain", "--which_splits", "1foldcv",
+        "--k", "1", "--max_epochs", "2", "--n_classes", "4",
+        "--model_type", "max_net", "--mode", "omic",
+        "--bag_loss", "cox_surv", "--batch_size", "16",
+        "--data_root_dir", str(base / "features"),
+        "--dataset_root", str(base / "dataset_csv"),
+        "--splits_root", str(base / "splits"),
+        "--results_dir", str(base / "results"), "--overwrite"])
+    assert rc == 0
+    exp = next((base / "results" / "brain" / "1foldcv").iterdir())
+    rc = export_main(["--model_path", str(exp), "--which_k", "0",
+                      "--batch_size", "4", "--check"])
+    assert rc == 0
+    art = exp / "s_0_scorer.stablehlo"
+    assert art.exists() and (exp / "s_0_scorer.stablehlo.json").exists()
+
+    # standalone serving: only the artifact + jax
+    import json
+    sidecar = json.loads((exp / "s_0_scorer.stablehlo.json").read_text())
+    scorer = load_scorer(art.read_bytes())
+    rng = np.random.default_rng(0)
+    probe = {k: rng.normal(size=s["shape"]).astype(s["dtype"])
+             for k, s in sidecar["inputs"].items()}
+    out = scorer(probe)
+    risk = np.asarray(out["risk"])
+    assert risk.shape[0] == 4 and np.isfinite(risk).all()

@@ -92,9 +92,12 @@ def bench_amil(drop_out: bool, B=32, N=4096, D=1024, iters=100, reps=3):
 
 def main():
     import jax
+    from bench import _start_watchdog  # flags a mid-session relay wedge
     backend = jax.default_backend()
+    wd = _start_watchdog(phase="AMIL variants")
     nodrop = bench_amil(drop_out=False)
     drop = bench_amil(drop_out=True)
+    wd.set()
     out = {
         "metric": "amil_train_bags_per_sec_variants",
         "unit": "bags/s/chip (32x4096x1024 bf16 bags, nll_surv, "
