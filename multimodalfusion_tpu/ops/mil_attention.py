@@ -644,8 +644,29 @@ def _pool_bwd_reference(h, mask, params: AttnParams, out, ml, g,
 # Public op with custom VJP.
 # ---------------------------------------------------------------------------
 
+import contextlib
+
+_FORCE_UNFUSED = False
+
+
+@contextlib.contextmanager
+def force_unfused():
+    """Trace with the pure-XLA pooling even on TPU.  Used by
+    utils/model_export.py for cross-platform serving artifacts: mosaic
+    custom calls only lower for the tpu platform, while the unfused
+    form lowers everywhere (and serving is forward-only, where XLA's
+    fusion is within ~15% of the fused kernel — PERF.md)."""
+    global _FORCE_UNFUSED
+    prev = _FORCE_UNFUSED
+    _FORCE_UNFUSED = True
+    try:
+        yield
+    finally:
+        _FORCE_UNFUSED = prev
+
+
 def _use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return not _FORCE_UNFUSED and jax.default_backend() == "tpu"
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -14,6 +14,14 @@ Shapes are fixed at export time (batch_size / bag_len); the serving
 side pads exactly like training did (masks make padding exact, see
 ops/mil_attention.py).  Weights are baked into the artifact as
 constants — one file is the whole deployment.
+
+Platform note: the MIL models pick the fused Pallas pooling at TRACE
+time (ops/mil_attention._use_pallas), and mosaic custom calls only
+lower for the tpu platform.  Exporting for exactly ("tpu",) keeps the
+fused kernels; any other platform list traces under
+``mil_attention.force_unfused()`` so the artifact lowers everywhere
+(serving is forward-only, where XLA's fusion is within ~15% of the
+fused kernel — PERF.md).
 """
 from __future__ import annotations
 
@@ -76,9 +84,17 @@ def export_scorer(model, variables, cfg, batch_size: int = 8,
         return {k: out[k] for k in ("risk", "hazards", "S")
                 if out.get(k) is not None}
 
-    exp = jexport.export(
-        jax.jit(score),
-        platforms=list(platforms) if platforms else None)(kwargs)
+    # fused Pallas pooling only lowers for the tpu platform: keep it
+    # for tpu-only artifacts, trace the portable unfused form otherwise
+    plist = list(platforms) if platforms else None
+    tpu_only = (plist == ["tpu"]) if plist is not None \
+        else jax.default_backend() == "tpu"
+    import contextlib
+
+    from multimodalfusion_tpu.ops import mil_attention as mil
+    ctx = contextlib.nullcontext() if tpu_only else mil.force_unfused()
+    with ctx:
+        exp = jexport.export(jax.jit(score), platforms=plist)(kwargs)
     return exp.serialize()
 
 

@@ -73,6 +73,24 @@ def test_export_pretrained_head_roundtrip():
     assert "risk" in keys
 
 
+def test_force_unfused_context_restores():
+    """Cross-platform exports trace under force_unfused(); the override
+    must hold inside the context (even where the backend would pick the
+    fused kernels) and restore cleanly, including on error."""
+    from multimodalfusion_tpu.ops import mil_attention as mil
+    assert not mil._FORCE_UNFUSED
+    with mil.force_unfused():
+        assert mil._FORCE_UNFUSED and not mil._use_pallas()
+        with mil.force_unfused():       # re-entrant
+            assert mil._FORCE_UNFUSED
+        assert mil._FORCE_UNFUSED
+    assert not mil._FORCE_UNFUSED
+    with pytest.raises(RuntimeError):
+        with mil.force_unfused():
+            raise RuntimeError("boom")
+    assert not mil._FORCE_UNFUSED
+
+
 def test_export_requires_omic_dim():
     cfg = TrainConfig(model_type="max_net", mode="omic",
                       omic_input_dim=0)
