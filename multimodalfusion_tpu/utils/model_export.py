@@ -118,24 +118,33 @@ def save_scorer(path: str, model, variables, cfg, batch_size: int = 8,
                 bag_len: int = 512,
                 platforms: Optional[Sequence[str]] = None) -> dict:
     """export_scorer + write the artifact and a ``<path>.json`` sidecar
-    documenting the input signature.  Returns the sidecar dict."""
+    documenting the input/output signatures.  Returns the sidecar."""
+    import jax
+    from jax import export as jexport
+
     from multimodalfusion_tpu.engine.train import model_inputs
     blob = export_scorer(model, variables, cfg, batch_size, bag_len,
                          platforms)
     with open(path, "wb") as f:
         f.write(blob)
     kwargs = model_inputs(cfg, example_batch(cfg, batch_size, bag_len))
+    # the artifact's own avals are the authoritative output signature
+    # (a cox head exports only `risk`; nll families add hazards/S)
+    exp = jexport.deserialize(bytearray(blob))
+    out_tree = exp.out_tree.unflatten(exp.out_avals)
     sidecar = {
         "format": "jax.export StableHLO",
         "model_type": cfg.model_type,
         "mode": cfg.mode,
         "batch_size": batch_size,
         "bag_len": bag_len,
-        "platforms": list(platforms) if platforms else None,
+        "platforms": (list(platforms) if platforms
+                      else [jax.default_backend()]),
         "inputs": {k: {"shape": list(np.asarray(v).shape),
                        "dtype": str(np.asarray(v).dtype)}
                    for k, v in kwargs.items()},
-        "outputs": ["risk", "hazards", "S"],
+        "outputs": {k: {"shape": list(v.shape), "dtype": str(v.dtype)}
+                    for k, v in out_tree.items()},
     }
     with open(path + ".json", "w") as f:
         json.dump(sidecar, f, indent=2)
