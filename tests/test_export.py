@@ -140,3 +140,35 @@ def test_export_cli_on_trained_experiment(tmp_path):
     out = scorer(probe)
     risk = np.asarray(out["risk"])
     assert risk.shape[0] == 4 and np.isfinite(risk).all()
+
+    # PROOF of "no model code": a fresh interpreter whose sys.path
+    # cannot import multimodalfusion_tpu serves the artifact with jax
+    # alone and reproduces the risk scores bit-for-bit
+    import subprocess
+    import sys
+    script = (
+        "import sys, json, numpy as np\n"
+        "try:\n"
+        "    import multimodalfusion_tpu\n"
+        "    raise SystemExit('model code importable — test is vacuous')\n"
+        "except ImportError:\n"
+        "    pass\n"
+        "from jax import export as jexport\n"
+        f"exp = jexport.deserialize(bytearray(open({str(art)!r}, 'rb')"
+        ".read()))\n"
+        f"sidecar = json.load(open({str(art) + '.json'!r}))\n"
+        "rng = np.random.default_rng(0)\n"
+        "probe = {k: rng.normal(size=s['shape']).astype(s['dtype'])\n"
+        "         for k, s in sidecar['inputs'].items()}\n"
+        "out = exp.call(probe)\n"
+        "np.save(sys.argv[1], np.asarray(out['risk']))\n"
+    )
+    risk_path = str(tmp_path / "standalone_risk.npy")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", script, risk_path],
+                       cwd=str(tmp_path), env=env, capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    np.testing.assert_array_equal(np.load(risk_path), risk)
