@@ -73,6 +73,28 @@ def test_export_pretrained_head_roundtrip():
     assert "risk" in keys
 
 
+def test_export_multi_platform_from_cpu():
+    """A ("cpu","tpu") artifact built on a CPU-only process must
+    serialize (cross-platform lowering via the unfused pooling trace)
+    and still execute on cpu."""
+    rng = np.random.default_rng(4)
+    cfg = TrainConfig(model_type="path_attention_mil", mode="path",
+                      bag_loss="nll_surv", gate_path=True)
+    model = build_model(cfg)
+    variables = _init(model, cfg, 2, 64)
+    blob = export_scorer(model, variables, cfg, batch_size=2, bag_len=64,
+                         platforms=["cpu", "tpu"])
+    probe = {"bags": rng.normal(size=(2, 64, 1024)).astype(np.float32),
+             "mask": np.ones((2, 64), np.float32)}
+    got = load_scorer(blob)(probe)
+    want = model.apply(variables, deterministic=True,
+                       bags=jnp.asarray(probe["bags"]),
+                       mask=jnp.asarray(probe["mask"]))
+    np.testing.assert_allclose(np.asarray(got["risk"]),
+                               np.asarray(want["risk"]), rtol=2e-5,
+                               atol=1e-6)
+
+
 def test_force_unfused_context_restores():
     """Cross-platform exports trace under force_unfused(); the override
     must hold inside the context (even where the backend would pick the
