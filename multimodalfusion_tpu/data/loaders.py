@@ -14,6 +14,12 @@ import numpy as np
 from multimodalfusion_tpu.data.bags import pad_bags
 from multimodalfusion_tpu.data.survival_dataset import Sample, Split
 
+# per-instance feature width of stage-1 extraction (truncated ResNet50,
+# models/resnet.py); radiology bags concatenate one block per modality.
+# The single point of truth for bag shapes — utils/model_export.py
+# traces serving artifacts against it.
+FEAT_DIM = 1024
+
 
 def usable_indices(split: Split) -> List[int]:
     """Reference train/val loops skip samples missing any modality required
@@ -34,7 +40,7 @@ def usable_indices(split: Split) -> List[int]:
 
 def _batch_from_samples(samples: List[Sample], mode: str, pretrained: bool,
                         batch_size: int, n_radio_feat: int,
-                        n_path_feat: int = 1024,
+                        n_path_feat: int = FEAT_DIM,
                         reuse_buffers: bool = True
                         ) -> Dict[str, np.ndarray]:
     B = batch_size
@@ -110,7 +116,7 @@ def iter_batches(split: Split, batch_size: int = 1, shuffle: bool = False,
     elif shuffle:
         rng.shuffle(order)
 
-    n_radio_feat = len(ds.modalities) * 1024
+    n_radio_feat = len(ds.modalities) * FEAT_DIM
     warned = False
     for start in range(0, len(order), batch_size):
         chunk = order[start:start + batch_size]

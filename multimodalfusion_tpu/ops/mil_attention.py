@@ -655,7 +655,13 @@ def force_unfused():
     utils/model_export.py for cross-platform serving artifacts: mosaic
     custom calls only lower for the tpu platform, while the unfused
     form lowers everywhere (and serving is forward-only, where XLA's
-    fusion is within ~15% of the fused kernel — PERF.md)."""
+    fusion is within ~15% of the fused kernel — PERF.md).
+
+    PROCESS-GLOBAL and not thread-safe: any OTHER trace happening
+    while the context is open (e.g. a concurrent train-step retrace in
+    a long-lived server) would also capture — and jit-cache — the
+    unfused pooling.  Keep exports out of threads that share live jit
+    state; the export CLI is single-threaded."""
     global _FORCE_UNFUSED
     prev = _FORCE_UNFUSED
     _FORCE_UNFUSED = True

@@ -30,8 +30,10 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-PATH_FEAT_DIM = 1024      # ResNet50-trunc features (models/resnet.py)
-PRETRAINED_DIM = 256      # stage-3 embedding width (ref 256-d)
+from multimodalfusion_tpu.data.loaders import \
+    FEAT_DIM as PATH_FEAT_DIM  # single point of truth for bag shapes
+PRETRAINED_DIM = 256      # stage-3 embedding width (ref 256-d,
+#                           models/pretrained_heads.py / SIZE tables)
 
 
 def example_batch(cfg, batch_size: int = 8, bag_len: int = 512):
@@ -63,16 +65,29 @@ def example_batch(cfg, batch_size: int = 8, bag_len: int = 512):
     return batch
 
 
-def export_scorer(model, variables, cfg, batch_size: int = 8,
-                  bag_len: int = 512,
-                  platforms: Optional[Sequence[str]] = None) -> bytes:
-    """Serialize ``model.apply(variables, deterministic=True, **inputs)``
-    (weights closed over as constants) for the given platforms
-    (default: the current backend).  Returns the artifact bytes."""
+def traces_fused(platforms: Optional[Sequence[str]] = None) -> bool:
+    """Whether an export for ``platforms`` keeps the fused Pallas
+    pooling: only when the artifact targets exactly the tpu platform
+    AND the exporting process runs on TPU (the trace-time kernel choice
+    follows the current backend; an off-device export for tpu gets the
+    portable unfused form — warned about in export_scorer)."""
+    import jax
+    plist = list(platforms) if platforms else None
+    on_tpu = jax.default_backend() == "tpu"
+    return on_tpu and (plist is None or plist == ["tpu"])
+
+
+def _export(model, variables, cfg, batch_size: int = 8,
+            bag_len: int = 512,
+            platforms: Optional[Sequence[str]] = None):
+    """Trace + lower; returns the jax.export.Exported object."""
+    import contextlib
+
     import jax
     from jax import export as jexport
 
     from multimodalfusion_tpu.engine.train import model_inputs
+    from multimodalfusion_tpu.ops import mil_attention as mil
 
     kwargs = {k: np.asarray(v) for k, v in model_inputs(
         cfg, example_batch(cfg, batch_size, bag_len)).items()}
@@ -85,17 +100,30 @@ def export_scorer(model, variables, cfg, batch_size: int = 8,
                 if out.get(k) is not None}
 
     # fused Pallas pooling only lowers for the tpu platform: keep it
-    # for tpu-only artifacts, trace the portable unfused form otherwise
+    # for on-TPU tpu-only artifacts, trace the portable form otherwise
     plist = list(platforms) if platforms else None
-    tpu_only = (plist == ["tpu"]) if plist is not None \
-        else jax.default_backend() == "tpu"
-    import contextlib
-
-    from multimodalfusion_tpu.ops import mil_attention as mil
-    ctx = contextlib.nullcontext() if tpu_only else mil.force_unfused()
+    fused = traces_fused(platforms)
+    if plist == ["tpu"] and not fused:
+        import warnings
+        warnings.warn(
+            "exporting for platforms=['tpu'] from a non-TPU process: "
+            "the artifact gets the portable unfused pooling, not the "
+            "fused Pallas kernels (the kernel choice is made at trace "
+            "time from the current backend) — export on a TPU host to "
+            "keep them", stacklevel=3)
+    ctx = contextlib.nullcontext() if fused else mil.force_unfused()
     with ctx:
-        exp = jexport.export(jax.jit(score), platforms=plist)(kwargs)
-    return exp.serialize()
+        return jexport.export(jax.jit(score), platforms=plist)(kwargs)
+
+
+def export_scorer(model, variables, cfg, batch_size: int = 8,
+                  bag_len: int = 512,
+                  platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize ``model.apply(variables, deterministic=True, **inputs)``
+    (weights closed over as constants) for the given platforms
+    (default: the current backend).  Returns the artifact bytes."""
+    return _export(model, variables, cfg, batch_size, bag_len,
+                   platforms).serialize()
 
 
 def load_scorer(blob: bytes):
@@ -120,17 +148,14 @@ def save_scorer(path: str, model, variables, cfg, batch_size: int = 8,
     """export_scorer + write the artifact and a ``<path>.json`` sidecar
     documenting the input/output signatures.  Returns the sidecar."""
     import jax
-    from jax import export as jexport
 
     from multimodalfusion_tpu.engine.train import model_inputs
-    blob = export_scorer(model, variables, cfg, batch_size, bag_len,
-                         platforms)
+    exp = _export(model, variables, cfg, batch_size, bag_len, platforms)
     with open(path, "wb") as f:
-        f.write(blob)
+        f.write(exp.serialize())
     kwargs = model_inputs(cfg, example_batch(cfg, batch_size, bag_len))
     # the artifact's own avals are the authoritative output signature
     # (a cox head exports only `risk`; nll families add hazards/S)
-    exp = jexport.deserialize(bytearray(blob))
     out_tree = exp.out_tree.unflatten(exp.out_avals)
     sidecar = {
         "format": "jax.export StableHLO",

@@ -95,6 +95,28 @@ def test_export_multi_platform_from_cpu():
                                atol=1e-6)
 
 
+def test_export_tpu_only_from_cpu_warns_and_check_skips(tmp_path):
+    """--platforms tpu from a CPU process: warns that the fused kernels
+    are not kept (trace-time kernel choice), and --check skips instead
+    of crashing (a tpu-only artifact cannot execute on cpu)."""
+    import warnings
+
+    from multimodalfusion_tpu.utils.model_export import (save_scorer,
+                                                         traces_fused)
+    assert not traces_fused(["tpu"])  # CPU process
+    cfg = TrainConfig(model_type="max_net", mode="omic",
+                      omic_input_dim=8, bag_loss="cox_surv")
+    model = build_model(cfg)
+    variables = _init(model, cfg, 2)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sidecar = save_scorer(str(tmp_path / "a.stablehlo"), model,
+                              variables, cfg, batch_size=2,
+                              platforms=["tpu"])
+    assert any("non-TPU process" in str(w.message) for w in caught)
+    assert sidecar["platforms"] == ["tpu"]
+
+
 def test_force_unfused_context_restores():
     """Cross-platform exports trace under force_unfused(); the override
     must hold inside the context (even where the backend would pick the
