@@ -292,6 +292,13 @@ def main():
             "vs_baseline": round(ingraph / ref_style, 2),
             "per_dispatch_bags_per_sec": round(batched, 2),
         }), file=sys.stderr)
+        # the watchdog may have fired on a slow-but-healthy phase (heavy
+        # compile, noisy chip): the phase COMPLETED, so drop any note it
+        # wrote — a surviving BENCH_ERROR.txt after a successful bench
+        # would falsely claim a wedge.  (On a real wedge the process
+        # never gets here and the note stands.)
+        if os.path.exists(err_note):
+            os.remove(err_note)
     except Exception as e:
         print(f"secondary bench failed: {e}", file=sys.stderr)
     finally:

@@ -48,9 +48,7 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from multimodalfusion_tpu.engine.train import (build_model,
-                                                   load_checkpoint,
-                                                   model_inputs)
+    from multimodalfusion_tpu.engine.train import build_model, model_inputs
     from multimodalfusion_tpu.utils.experiment import (config_from_settings,
                                                        read_settings)
     from multimodalfusion_tpu.utils.model_export import (example_batch,
@@ -63,15 +61,15 @@ def main(argv=None) -> int:
     cfg = config_from_settings(settings, batch_size=args.batch_size)
     ckpt = os.path.join(args.model_path,
                         f"s_{args.which_k}_minloss_checkpoint.msgpack")
+    from flax import serialization
+    with open(ckpt, "rb") as f:
+        ckpt_bytes = f.read()  # read ONCE; width probe + load share it
     if "omic" in cfg.mode and not cfg.pretrained \
             and cfg.omic_input_dim <= 0:
         # the genomic width is data-derived (not in the settings txt);
         # the checkpoint's first omic layer records it
         import dataclasses
-
-        from flax import serialization
-        with open(ckpt, "rb") as f:
-            raw = serialization.msgpack_restore(f.read())
+        raw = serialization.msgpack_restore(ckpt_bytes)
         cfg = dataclasses.replace(cfg, omic_input_dim=int(
             raw["params"]["fc_omic_0"]["Dense_0"]["kernel"].shape[0]))
     model = build_model(cfg)
@@ -80,7 +78,7 @@ def main(argv=None) -> int:
     variables = dict(model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         deterministic=True, **kwargs))
-    variables = load_checkpoint(ckpt, variables)
+    variables = serialization.from_bytes(variables, ckpt_bytes)
 
     out_path = args.out or os.path.join(
         args.model_path, f"s_{args.which_k}_scorer.stablehlo")

@@ -43,10 +43,13 @@ JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
 JPEG2000 = "1.2.840.10008.1.2.4.91"
 
-# encapsulated-PixelData syntaxes this reader can decode
-_PIL_SYNTAXES = {JPEG_BASELINE, JPEG_EXTENDED, JPEG2000_LOSSLESS,
-                 JPEG2000}
-_ENCAPSULATED = _PIL_SYNTAXES | {RLE_LOSSLESS, JPEG_LOSSLESS_SV1}
+# encapsulated-PixelData syntaxes this reader can decode.  JPEG
+# Extended (.51) is recognized but NOT decodable: its CT payloads are
+# 12-bit JPEG, which PIL cannot parse — it gets the clear error below
+# instead of an opaque PIL failure.
+_PIL_SYNTAXES = {JPEG_BASELINE, JPEG2000_LOSSLESS, JPEG2000}
+_ENCAPSULATED = _PIL_SYNTAXES | {RLE_LOSSLESS, JPEG_LOSSLESS_SV1,
+                                 JPEG_EXTENDED}
 
 # tags the CT pipeline needs (group, element) -> (name, VR)
 _TAGS = {
@@ -55,6 +58,7 @@ _TAGS = {
     (0x0020, 0x0032): ("ImagePositionPatient", "DS"),
     (0x0020, 0x0037): ("ImageOrientationPatient", "DS"),
     (0x0028, 0x0002): ("SamplesPerPixel", "US"),
+    (0x0028, 0x0008): ("NumberOfFrames", "IS"),
     (0x0028, 0x0010): ("Rows", "US"),
     (0x0028, 0x0011): ("Columns", "US"),
     (0x0028, 0x0030): ("PixelSpacing", "DS"),
@@ -82,6 +86,15 @@ class DicomSlice:
 
     @property
     def pixel_array(self) -> np.ndarray:
+        # the CT pipeline consumes one 2-D frame per file (ref
+        # load_scan :14-27 stacks per-file slices); decoding only frame
+        # 1 of a multi-frame object would silently drop slices
+        n_frames = int(self._elements.get("NumberOfFrames", 1) or 1)
+        if n_frames > 1:
+            raise NotImplementedError(
+                f"multi-frame DICOM (NumberOfFrames={n_frames}) — this "
+                "reader handles one frame per file; split the object "
+                "or convert the series to NIfTI (data/nifti.py)")
         rows = int(self._elements["Rows"])
         cols = int(self._elements["Columns"])
         bits = int(self._elements.get("BitsAllocated", 16))
@@ -181,21 +194,41 @@ def _decode_encapsulated(fragments, transfer_syntax: str, rows: int,
     the item stream, Basic Offset Table already dropped)."""
     blob = b"".join(fragments)
     if transfer_syntax == RLE_LOSSLESS:
+        # PS3.5 Annex G: RLE encodes exactly one frame per fragment, so
+        # >1 fragment means a multi-frame object (the NumberOfFrames
+        # guard catches declared ones; this catches undeclared ones)
+        if len(fragments) > 1:
+            raise NotImplementedError(
+                f"RLE PixelData with {len(fragments)} fragments is "
+                "multi-frame — this reader handles one frame per file")
         arr = _decode_rle_frame(blob, rows, cols, bits)
     elif transfer_syntax in _PIL_SYNTAXES:
         import io
 
         from PIL import Image
-        arr = np.asarray(Image.open(io.BytesIO(blob)))
-        if arr.shape[:2] != (rows, cols):
+        try:
+            arr = np.asarray(Image.open(io.BytesIO(blob)))
+        except Exception as exc:
+            raise NotImplementedError(
+                f"PIL cannot decode this {transfer_syntax} frame "
+                f"({exc!r}) — convert the series to RLE/NIfTI "
+                "(data/nifti.py)") from exc
+        if arr.ndim != 2:
+            raise NotImplementedError(
+                f"decoded frame has shape {arr.shape} (SamplesPerPixel "
+                "> 1 / color) — the CT pipeline consumes monochrome "
+                "slices only")
+        if arr.shape != (rows, cols):
             raise ValueError(
                 f"decoded frame {arr.shape} does not match "
                 f"Rows/Columns ({rows}, {cols})")
     else:
         raise NotImplementedError(
             f"transfer syntax {transfer_syntax} has no decoder in this "
-            "image (JPEG Lossless needs pydicom+pylibjpeg) — convert "
-            "the series to RLE/JPEG 2000 or NIfTI (data/nifti.py)")
+            "image (JPEG Lossless needs pydicom+pylibjpeg; JPEG "
+            "Extended carries 12-bit JPEG, which PIL cannot parse) — "
+            "convert the series to RLE/JPEG 2000 or NIfTI "
+            "(data/nifti.py)")
     if bits == 16:
         arr = arr.astype(np.uint32).astype(np.uint16)
         return arr.view(np.int16).copy() if signed else arr

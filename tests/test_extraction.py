@@ -556,3 +556,97 @@ def test_native_dicom_ui_pads_with_nul(tmp_path):
     padded = ts + (b"\x00" if len(ts) % 2 else b"")
     assert padded in raw
     assert ts + b" " not in raw
+
+
+def test_native_dicom_multiframe_rejected_not_truncated(tmp_path):
+    """A multi-frame object must raise, not silently return frame 1
+    (decoding only the first frame would drop slices from the volume).
+    Covers both the declared (NumberOfFrames tag) and undeclared
+    (RLE with >1 fragment) cases."""
+    import struct
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    # (a) declared: splice NumberOfFrames=3 into an uncompressed file
+    p = str(tmp_path / "mf.dcm")
+    dicom.write_ct_slice(p, vol[0], z=0.0)
+    raw = open(p, "rb").read()
+    rows_elem = dicom._enc_element(0x0028, 0x0010, "US",
+                                   struct.pack("<H", vol.shape[1]))
+    nf_elem = dicom._enc_element(0x0028, 0x0008, "IS", b"3 ")
+    assert raw.count(rows_elem) == 1
+    p2 = str(tmp_path / "mf2.dcm")
+    open(p2, "wb").write(raw.replace(rows_elem, nf_elem + rows_elem))
+    with pytest.raises(NotImplementedError, match="NumberOfFrames=3"):
+        dicom.read_file(p2).pixel_array
+    # (b) undeclared: RLE PixelData with two fragments (PS3.5 Annex G:
+    # one frame per fragment)
+    p3 = str(tmp_path / "mf3.dcm")
+    dicom.write_ct_slice(p3, vol[0], z=0.0, compression="rle")
+    raw3 = open(p3, "rb").read()
+    frame = dicom._rle_encode_frame(vol[0])
+    frag_item = struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+    assert raw3.count(frag_item) == 1
+    p4 = str(tmp_path / "mf4.dcm")
+    open(p4, "wb").write(raw3.replace(frag_item, frag_item + frag_item))
+    with pytest.raises(NotImplementedError, match="2 fragments"):
+        dicom.read_file(p4).pixel_array
+
+
+def test_native_dicom_color_and_12bit_jpeg_clear_errors(tmp_path):
+    """The PIL decode path must reject what the CT pipeline cannot
+    consume: (a) a color baseline-JPEG frame decodes to (H, W, 3) and
+    must raise instead of silently returning a 3-D array; (b) JPEG
+    Extended (.51, 12-bit) is not PIL-decodable and must raise the
+    clear remedy error, not an opaque PIL failure."""
+    import io
+    import struct
+    from PIL import Image
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+
+    def reframe(src_raw, new_ts, new_blob=None):
+        """Swap the transfer syntax (and optionally the one fragment)."""
+        old_meta = src_raw[132:]
+        pos = 0
+        # meta group length scan as in the other splice tests
+        while struct.unpack("<H", old_meta[pos:pos + 2])[0] == 0x0002:
+            vr = old_meta[pos + 4:pos + 6]
+            if vr in dicom._LONG_VRS:
+                ln = struct.unpack("<I", old_meta[pos + 8:pos + 12])[0]
+                pos += 12 + ln
+            else:
+                ln = struct.unpack("<H", old_meta[pos + 6:pos + 8])[0]
+                pos += 8 + ln
+        meta = dicom._enc_element(0x0002, 0x0010, "UI", new_ts.encode())
+        body = old_meta[pos:]
+        if new_blob is not None:
+            frame = dicom._rle_encode_frame(vol[0])
+            frag = struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+            pad = new_blob + (b"\x00" if len(new_blob) % 2 else b"")
+            new_frag = struct.pack("<HHI", 0xFFFE, 0xE000,
+                                   len(pad)) + pad
+            assert body.count(frag) == 1
+            body = body.replace(frag, new_frag)
+        return src_raw[:132] + meta + body
+
+    src = str(tmp_path / "rle.dcm")
+    dicom.write_ct_slice(src, vol[0], z=0.0, compression="rle")
+    raw = open(src, "rb").read()
+
+    # (a) color baseline JPEG under the JPEG_BASELINE syntax
+    bio = io.BytesIO()
+    rgb = np.zeros((vol.shape[1], vol.shape[2], 3), np.uint8)
+    rgb[..., 0] = 200
+    Image.fromarray(rgb).save(bio, format="JPEG")
+    p_color = str(tmp_path / "color.dcm")
+    open(p_color, "wb").write(
+        reframe(raw, dicom.JPEG_BASELINE, bio.getvalue()))
+    with pytest.raises(NotImplementedError, match="monochrome"):
+        dicom.read_file(p_color).pixel_array
+
+    # (b) JPEG Extended: recognized, parseable, but not decodable
+    p_ext = str(tmp_path / "ext.dcm")
+    open(p_ext, "wb").write(reframe(raw, dicom.JPEG_EXTENDED))
+    s = dicom.read_file(p_ext)  # structural parse must succeed
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        s.pixel_array

@@ -28,14 +28,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _sync(jax, tree):
-    # scalar readback: block_until_ready is a no-op through the relay,
-    # and reading back a full weight leaf would add ~tens of ms at the
-    # relay's ~12 MB/s to every timed window
-    import jax.numpy as jnp
-    leaf = jax.tree.leaves(tree)[0]
-    float(jnp.sum(leaf))
-    return tree
+# the relay-sync recipe must stay identical to the headline bench or
+# the A/B numbers stop being comparable to it — share one definition
+from bench import _sync  # noqa: E402
 
 
 def bench_amil(drop_out: bool, B=32, N=4096, D=1024, iters=100, reps=3):
