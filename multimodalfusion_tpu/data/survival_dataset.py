@@ -109,10 +109,7 @@ class Split:
         N = float(len(self.df))
         lab = self.labels
         counts = np.bincount(lab, minlength=self.ds.num_classes).astype(float)
-        w = np.zeros(len(self.df))
-        for i, y in enumerate(lab):
-            w[i] = N / counts[y]
-        return w
+        return N / counts[lab]
 
     @staticmethod
     def _radio_cells_present(row, modalities) -> bool:
@@ -288,7 +285,12 @@ class SurvivalDataset:
         self.label_dict = ldict
         self.num_classes = len(ldict)
         self.n_bins = len(q_bins) - 1
-        self.metadata = (METADATA_BASE + self.modalities + METADATA_TAIL)
+        # the label column must always be metadata: with a non-default
+        # label_col the survival time would otherwise survive the
+        # genomic-column filter and leak into the features
+        self.metadata = (METADATA_BASE + self.modalities + METADATA_TAIL
+                         + ([label_col] if label_col not in METADATA_TAIL
+                            else []))
         if print_info:
             print(f"label column: {label_col}")
             print(f"label dictionary: {ldict}")

@@ -266,12 +266,21 @@ def make_steps(cfg: TrainConfig, model, tx):
             loss_fn, has_aux=True)(params)
         mm_dropout = (cfg.multimodal_dropout
                       or cfg.train_type == "multimodal-dropout")
+        scales = _modality_scale_tree(grads, batch) if mm_dropout else None
         if mm_dropout:
-            grads = _mask_missing_modality_grads(grads, batch)
+            grads = _apply_scales(grads, scales)
+        prev_opt_state = opt_state
         updates_tx, opt_state = tx.update(grads, opt_state, params)
         if mm_dropout:
             # weight decay alone must not move frozen branches either
-            updates_tx = _mask_missing_modality_grads(updates_tx, batch)
+            updates_tx = _apply_scales(updates_tx, scales)
+            # ...nor may the optimizer MOMENTS of a frozen branch move:
+            # torch's requires_grad freeze (ref core_utils_pretrained.py
+            # :161-177) leaves Adam state untouched, while optax decays
+            # mu/nu toward zero and absorbs the weight-decay term even
+            # under zeroed grads — restore the previous moments
+            opt_state = _blend_frozen_opt_state(opt_state, prev_opt_state,
+                                                scales)
         params = optax.apply_updates(params, updates_tx)
         new_vars = {"params": params, **rest}
         if "batch_stats" in updates:
@@ -301,11 +310,11 @@ _MODALITY_MARKERS = {
 }
 
 
-def _mask_missing_modality_grads(grads, batch):
-    """Zero the gradients of a modality branch when the whole batch has
-    all-zero embeddings for it (batched generalization of the
-    reference's per-sample requires_grad freezing,
-    ref core_utils_pretrained.py:161-177)."""
+def _modality_scale_tree(grads, batch):
+    """Per-leaf freeze scales (1.0 = train, 0.0 = frozen): a modality
+    branch freezes when the whole batch has all-zero embeddings for it
+    (batched generalization of the reference's per-sample requires_grad
+    freezing, ref core_utils_pretrained.py:161-177)."""
     present = {
         m: jnp.any(jnp.abs(batch[f"h_{m}"]) > 0).astype(jnp.float32)
         for m in ("radio", "path", "omic") if f"h_{m}" in batch}
@@ -314,13 +323,42 @@ def _mask_missing_modality_grads(grads, batch):
     out = []
     for path, leaf in flat[0]:
         path_str = "/".join(str(getattr(p, "key", p)) for p in path)
-        scale = 1.0
+        scale = jnp.float32(1.0)
         for m, markers in _MODALITY_MARKERS.items():
             if m in present and any(mk in path_str for mk in markers):
                 scale = present[m]
                 break
-        out.append(leaf * scale)
+        out.append(scale)
     return jax.tree_util.tree_unflatten(flat[1], out)
+
+
+def _apply_scales(tree, scales):
+    return jax.tree.map(lambda x, s: x * s, tree, scales)
+
+
+def _blend_frozen_opt_state(new_state, old_state, scales):
+    """Keep the PREVIOUS optimizer moments for frozen-branch leaves.
+    torch's requires_grad freeze skips the whole Adam step for a frozen
+    tensor; optax's scale_by_adam unconditionally decays mu/nu (and
+    absorbs the add_decayed_weights term), so after a frozen stretch
+    the branch would resume training from polluted moments.  The scalar
+    Adam step count stays global (torch keeps a per-tensor count); its
+    bias correction differs only transiently at the start of training,
+    far below fold-level noise."""
+    def blend(new, old):
+        return jax.tree.map(lambda n, o, s: s * n + (1.0 - s) * o,
+                            new, old, scales)
+
+    out = []
+    for ns, os_ in zip(new_state, old_state):
+        if isinstance(ns, optax.ScaleByAdamState):
+            out.append(ns._replace(mu=blend(ns.mu, os_.mu),
+                                   nu=blend(ns.nu, os_.nu)))
+        elif isinstance(ns, optax.TraceState):
+            out.append(ns._replace(trace=blend(ns.trace, os_.trace)))
+        else:
+            out.append(ns)
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +381,20 @@ class EarlyStopping:
     def __call__(self, epoch, val_loss, variables, ckpt_name=None):
         score = -val_loss
         if epoch < self.warmup:
+            return
+        if np.isnan(val_loss):
+            # deliberate deviation from ref utils.py:188-197, where a
+            # NaN val_loss falls through every comparison into the
+            # save branch — overwriting the genuine best checkpoint
+            # with diverged weights and resetting patience forever.
+            # A NaN epoch can never be the new best; count it against
+            # patience instead so a diverged run still terminates.
+            self.counter += 1
+            if self.verbose:
+                print(f"EarlyStopping counter (NaN val loss): "
+                      f"{self.counter} / {self.patience}")
+            if self.counter >= self.patience and epoch > self.stop_epoch:
+                self.early_stop = True
             return
         if self.best_score is None:
             self.best_score = score
@@ -542,6 +594,17 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
     else:
         train_split, val_split = datasets
         test_split = None
+    for name, split in (("train", train_split), ("val", val_split),
+                        ("test", test_split)):
+        if split is None and not (name == "test"
+                                  and cfg.split_mode != "train_val_test"):
+            # an empty/missing column in splits_{i}.csv yields None here;
+            # without this check the failure is a bare AttributeError
+            # deep inside usable_indices
+            raise ValueError(
+                f"fold {cur}: the '{name}' split is empty — check the "
+                f"'{name}' column of the fold's splits csv (split_mode="
+                f"{cfg.split_mode})")
 
     bag_mesh = None
     if cfg.bag_shard:
@@ -663,13 +726,22 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
              "es_best": np.float64(0.0),
              "es_counter": 0,
              "es_val_loss_min": np.float64(np.inf),
-             "es_has_best": 0})
+             "es_has_best": 0, "stopped": 0})
         variables = bundle["variables"]
         opt_state = bundle["opt_state"]
         start_epoch = int(bundle["epoch"]) + 1
+        if int(bundle.get("stopped", 0)):
+            # this fold FINISHED via early stopping: resuming must not
+            # silently train it further (that would overwrite its
+            # checkpoints/metrics with longer-trained results) — skip
+            # straight to the final summary
+            start_epoch = cfg.max_epochs
+            print(f"fold {cur} already early-stopped; skipping to "
+                  "summary")
         rng = jnp.asarray(bundle["rng"])
         es_state = bundle
-        print(f"resuming fold {cur} from epoch {start_epoch}")
+        if start_epoch < cfg.max_epochs:
+            print(f"resuming fold {cur} from epoch {start_epoch}")
         # a SIGKILL can truncate the last metrics line or leave lines
         # from an epoch newer than the bundle — keep only parseable
         # records below the resume point so the log stays one clean
@@ -702,7 +774,32 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
         # reference-tooling-compatible event files (same records as
         # metrics.jsonl; ref core_utils.py:31-36 SummaryWriter per fold)
         from tensorboardX import SummaryWriter
+        if start_epoch > 0:
+            # crash-resume: the old event file still holds scalars past
+            # the resume point (metrics.jsonl was pruned above), and a
+            # new writer would append a SECOND file re-emitting those
+            # epochs — drop the stale files and replay the pruned log
+            # so tensorboard matches metrics.jsonl exactly
+            for name in os.listdir(fold_dir):
+                if name.startswith("events.out.tfevents"):
+                    os.remove(os.path.join(fold_dir, name))
         writer = SummaryWriter(fold_dir, flush_secs=15)
+        if start_epoch > 0 and os.path.exists(log_path):
+            for line in open(log_path).read().splitlines():
+                try:
+                    r = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                e = r["epoch"]
+                writer.add_scalar("train/loss_surv", r["train_loss"], e)
+                writer.add_scalar("train/loss",
+                                  r.get("train_total", r["train_loss"]),
+                                  e)
+                writer.add_scalar("train/c_index", r["train_c_index"], e)
+                writer.add_scalar("val/loss_surv", r["val_loss"], e)
+                writer.add_scalar("val/loss",
+                                  r.get("val_total", r["val_loss"]), e)
+                writer.add_scalar("val/c-index", r["val_c_index"], e)
 
     stop = False
     for epoch in range(start_epoch, cfg.max_epochs):
@@ -716,7 +813,11 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             eval_step, rng, False, epoch, seed=0, mesh=mesh)
         rec = {"epoch": epoch, "train_loss": tr["loss"],
                "train_c_index": tr["c_index"], "val_loss": va["loss"],
-               "val_c_index": va["c_index"], "sec": time.time() - t0}
+               "val_c_index": va["c_index"],
+               # totals (incl. the L1 term) so a resume can replay the
+               # full tensorboard scalar set from this log
+               "train_total": tr["total"], "val_total": va["total"],
+               "sec": time.time() - t0}
         print(f"fold {cur} epoch {epoch}: "
               f"train_loss {tr['loss']:.4f} c {tr['c_index']:.4f} | "
               f"val_loss {va['loss']:.4f} c {va['c_index']:.4f} "
@@ -752,7 +853,8 @@ def train_fold(datasets, cur: int, cfg: TrainConfig, eval_only: bool = False):
             "es_val_loss_min": np.float64(stopper.val_loss_min
                                           if stopper else np.inf),
             "es_has_best": int(bool(stopper
-                                    and stopper.best_score is not None))})
+                                    and stopper.best_score is not None)),
+            "stopped": int(stop)})
         if stop:
             break
 

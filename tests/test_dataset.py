@@ -339,3 +339,22 @@ def test_all_nan_genomic_column_raises(tmp_path):
     tr, va = ds2.load_splits(str(sp_csv))
     assert len(tr) == 8 and len(va) == 4
     assert tr.all_nan_genomic_cols == []
+
+
+def test_custom_label_col_not_leaked_into_genomics(store, tmp_path):
+    """With a non-default label_col, the survival-time column must be
+    treated as metadata — otherwise the label leaks into the genomic
+    features (the model would train on a z-scored copy of its target)."""
+    root, csv_path, df = store
+    df2 = pd.read_csv(csv_path)
+    df2["os_days"] = df2["survival_months"] * 30.4
+    p2 = str(tmp_path / "cohort_days.csv")
+    df2.to_csv(p2, index=False)
+    ds = SurvivalDataset(p2, mode="omic", data_dir=root, n_bins=4,
+                         label_col="os_days")
+    split = ds.whole_split()
+    assert "os_days" not in split.genomic_cols
+    # the default-name column keeps its metadata status too
+    assert "survival_months" not in split.genomic_cols
+    base = SurvivalDataset(csv_path, mode="omic", data_dir=root, n_bins=4)
+    assert split.genomic_cols == base.whole_split().genomic_cols

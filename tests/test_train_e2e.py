@@ -488,3 +488,25 @@ def test_infer_cli_scores_unlabeled_subjects(cohort):
     got = risks["risk"].to_dict()
     for sid, r in want.items():
         assert got[sid] == pytest.approx(r, rel=1e-4), sid
+
+
+def test_early_stopping_ignores_nan_val_loss(tmp_path):
+    """A NaN val loss must never become the new best (the reference's
+    EarlyStopping falls through every comparison into the save branch,
+    clobbering the genuine best checkpoint with diverged weights and
+    resetting patience — deliberate fix, flagged in the class)."""
+    import jax.numpy as jnp
+    from multimodalfusion_tpu.engine.train import EarlyStopping
+
+    ckpt = str(tmp_path / "best.msgpack")
+    stopper = EarlyStopping(warmup=0, patience=3, stop_epoch=0,
+                            verbose=False)
+    good = {"params": {"w": jnp.ones((2,))}}
+    bad = {"params": {"w": jnp.full((2,), 7.0)}}
+    stopper(0, 1.0, good, ckpt)
+    sig = open(ckpt, "rb").read()
+    for epoch in range(1, 4):
+        stopper(epoch, float("nan"), bad, ckpt)
+    assert stopper.early_stop          # NaNs count against patience
+    assert open(ckpt, "rb").read() == sig  # best checkpoint untouched
+    assert stopper.val_loss_min == 1.0
