@@ -276,11 +276,18 @@ def _fused_pool_pallas(h, mask, params: AttnParams, gated: bool,
     dropout = da is not None
     bb = min(bag_block, B)
     if tile_n is None:
-        # keep the h block ~4 MB (bf16) so block + double-buffer + f32
+        # keep the h block <=4 MB so block + double-buffer + f32
         # intermediates fit the 16 MB VMEM budget; with dropout the two
         # u8 mask blocks and their i32 cast intermediates push tile 2048
-        # ~2 MB over the limit, so halve the tile
-        tile_n = max((1024 if dropout else 2048) // bb, 256)
+        # ~2 MB over the limit, so the cap halves.  The budget is BYTES,
+        # not rows: an f32 [2048, 1024] block compiles 2 MB over the
+        # scoped-vmem limit — a dtype/D-blind tile OOMs off the tuned
+        # bf16 D=256 production shape (caught on-chip by
+        # tools/tpu_kernel_selftest.py, which compiles these paths for
+        # real; interpret-mode tests cannot see VMEM limits)
+        cap = (1024 if dropout else 2048) // bb
+        budget = 4 * 1024 * 1024
+        tile_n = max(min(cap, budget // (bb * D * h.dtype.itemsize)), 256)
     tn = min(tile_n, _round_up(N, 128))
     n_pad = _round_up(N, tn)
     b_pad = _round_up(B, bb)
@@ -478,12 +485,23 @@ def _fused_pool_bwd_pallas(h, mask, params: AttnParams, out, ml, g,
     (+~5% over tile 256 at B=32, same session; 2048 overflows VMEM —
     the block + f32 intermediates + dh exceed 16 MB).  With dropout the
     mask blocks + their i32 cast intermediates push tile 1024 ~7 MB
-    over, so the tile halves to 512."""
+    over, so the tile halves to 512.  Those numbers are for bf16 bags
+    at the production D=256; other dtypes/widths derive from the same
+    byte budget below (on-chip evidence: tools/tpu_kernel_selftest.py)."""
     B, N, D = h.shape
     Da = params.Wa.shape[1]
     dropout = da is not None
     if tile_n is None:
-        tile_n = 512 if dropout else 1024
+        # byte-aware like the forward: the backward holds the h block,
+        # the dh block, an f32 copy of h (alpha) and six [TN, Da] f32
+        # intermediates, so its h-block budget is an eighth of the
+        # forward's.  bf16 D=256 (the production shape) lands on the
+        # tuned 1024/512; f32 or D=1024 shapes shrink instead of
+        # overflowing scoped vmem (tools/tpu_kernel_selftest.py
+        # compiles all of these on-chip)
+        cap = 512 if dropout else 1024
+        budget = 512 * 1024
+        tile_n = max(min(cap, budget // (D * h.dtype.itemsize)), 256)
     tn = min(tile_n, _round_up(N, 128))
     n_pad = _round_up(N, tn)
     if n_pad != N:

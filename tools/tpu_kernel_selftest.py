@@ -1,0 +1,172 @@
+"""On-chip parity selftest for the fused Pallas MIL pooling kernels.
+
+The pytest suite proves fused == unfused in Pallas INTERPRET mode on
+CPU (tests/test_mil_attention.py) — that validates the kernel math,
+not the mosaic COMPILATION of it.  This tool runs the same oracle
+comparisons on the real TPU with the actually-compiled kernels, over
+the shapes/dtypes training uses:
+
+  * forward:  _fused_pool_pallas vs the pure-jnp reference, f32 + bf16,
+              gated + ungated, with and without attention dropout,
+              ragged masks, tile-crossing N
+  * backward: the fused backward kernel vs XLA autodiff of the
+              reference form (cotangents from a shared loss)
+
+Writes TPU_SELFTEST.json with the worst relative errors per case and
+exits nonzero past tolerance.  Tolerances are bf16-rounding-scale for
+BOTH dtypes (1e-2 f32, 2e-2/5e-2 bf16): TPU f32 matmuls run as bf16
+MXU passes under the default precision, and the fused kernel and the
+XLA oracle round differently (measured ~3e-3 rel) — the selftest's
+job is catching wrong math, wrong masks, VMEM overflows and
+tile-boundary bugs, all of which show up orders of magnitude above
+that floor.  Exact f32 equivalence is covered by the CPU interpret
+tests under jax_default_matmul_precision=highest.
+
+Run on the TPU host:  python tools/tpu_kernel_selftest.py
+(~1 min; needs the chip — refuses to "pass" on CPU.)
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+from multimodalfusion_tpu.ops import mil_attention as mil
+
+
+def rel_err(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    denom = max(float(np.max(np.abs(b))), 1e-12)
+    return float(np.max(np.abs(a - b)) / denom)
+
+
+def make_case(rng, B, N, D, Da, dtype, ragged=True):
+    h = jnp.asarray(rng.normal(size=(B, N, D)), dtype)
+    if ragged:
+        lens = rng.integers(max(1, N // 4), N + 1, size=B)
+        mask = jnp.asarray(
+            (np.arange(N)[None, :] < lens[:, None]).astype(np.float32))
+    else:
+        mask = jnp.ones((B, N), jnp.float32)
+    params = mil.AttnParams(
+        Wa=jnp.asarray(rng.normal(size=(D, Da)) * 0.1, jnp.float32),
+        ba=jnp.asarray(rng.normal(size=(Da,)) * 0.1, jnp.float32),
+        Wb=jnp.asarray(rng.normal(size=(D, Da)) * 0.1, jnp.float32),
+        bb=jnp.asarray(rng.normal(size=(Da,)) * 0.1, jnp.float32),
+        wc=jnp.asarray(rng.normal(size=(Da, 1)) * 0.1, jnp.float32),
+        cc=jnp.asarray(rng.normal(size=(1,)) * 0.1, jnp.float32))
+    return h, mask, params
+
+
+def fwd_case(rng, B, N, D, Da, dtype, gated, dropout):
+    h, mask, params = make_case(rng, B, N, D, Da, dtype)
+    if dropout:
+        da, db = mil.make_dropout_masks(
+            jax.random.PRNGKey(int(rng.integers(1 << 30))), (B, N, Da),
+            gated=gated)
+        fused = mil._fused_pool_pallas(h, mask, params, gated,
+                                       da=da, db=db if gated else None)[0]
+        ref = mil._pool_reference_dropout(h, mask, da, db, params, gated)
+    else:
+        fused = mil._fused_pool_pallas(h, mask, params, gated)[0]
+        ref = mil._pool_reference(h, mask, params, gated)
+    return rel_err(fused, ref)
+
+
+def bwd_case(rng, B, N, D, Da, dtype, gated, dropout):
+    h, mask, params = make_case(rng, B, N, D, Da, dtype)
+    g = jnp.asarray(rng.normal(size=(B, D)), jnp.float32)
+    da = db = None
+    if dropout:
+        da, db = mil.make_dropout_masks(
+            jax.random.PRNGKey(int(rng.integers(1 << 30))), (B, N, Da),
+            gated=gated)
+        out, ml = mil._fused_pool_pallas(h, mask, params, gated, da=da,
+                                         db=db if gated else None)
+        dh, dp = mil._fused_pool_bwd_pallas(h, mask, params, out, ml, g,
+                                            gated, da=da,
+                                            db=db if gated else None)
+
+        def f(hh, pp):
+            return jnp.sum(
+                mil._pool_reference_dropout(hh, mask, da, db, pp, gated)
+                * g)
+    else:
+        out, ml = mil._fused_pool_pallas(h, mask, params, gated)
+        dh, dp = mil._fused_pool_bwd_pallas(h, mask, params, out, ml, g,
+                                            gated)
+
+        def f(hh, pp):
+            return jnp.sum(mil._pool_reference(hh, mask, pp, gated) * g)
+
+    params_f = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+    dh_ref, dp_ref = jax.grad(f, argnums=(0, 1))(h.astype(jnp.float32),
+                                                 params_f)
+    errs = {"dh": rel_err(dh.astype(jnp.float32), dh_ref)}
+    for name in ("Wa", "ba", "Wb", "bb", "wc"):
+        if not gated and name in ("Wb", "bb"):
+            continue
+        errs[name] = rel_err(getattr(dp, name), getattr(dp_ref, name))
+    # dcc is an exact analytic zero in the kernel; autodiff leaves
+    # cancellation noise — assert the kernel side only
+    errs["cc_is_zero"] = float(np.max(np.abs(np.asarray(dp.cc))))
+    return errs
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"error": "not on TPU backend; this selftest "
+                          "only means something on the real chip"}))
+        return 2
+    rng = np.random.default_rng(0)
+    report = {"backend": jax.default_backend(),
+              "device": str(jax.devices()[0]),
+              "cases": {}, "failures": []}
+    # shapes cross tile boundaries (tile 2048/1024 fwd, 1024/512 bwd)
+    # and exercise non-multiple-of-128 N padding
+    shapes = [(4, 300, 256, 256), (8, 1100, 256, 256),
+              (2, 4096, 1024, 256), (3, 2500, 1024, 256)]
+    for dtype, tol_f, tol_b in ((jnp.float32, 1e-2, 1e-2),
+                                (jnp.bfloat16, 2e-2, 5e-2)):
+        for gated in (True, False):
+            for dropout in (False, True):
+                worst_f = 0.0
+                worst_b = {}
+                for (B, N, D, Da) in shapes:
+                    worst_f = max(worst_f, fwd_case(
+                        rng, B, N, D, Da, dtype, gated, dropout))
+                    for k, v in bwd_case(rng, B, N, D, Da, dtype, gated,
+                                         dropout).items():
+                        worst_b[k] = max(worst_b.get(k, 0.0), v)
+                key = (f"{np.dtype(dtype).name}_"
+                       f"{'gated' if gated else 'ungated'}"
+                       f"{'_dropout' if dropout else ''}")
+                report["cases"][key] = {
+                    "fwd_rel": worst_f, "bwd_rel": worst_b,
+                    "tol_fwd": tol_f, "tol_bwd": tol_b}
+                if worst_f > tol_f:
+                    report["failures"].append(f"{key}: fwd {worst_f}")
+                for k, v in worst_b.items():
+                    tol = 1e-6 if k == "cc_is_zero" else tol_b
+                    if v > tol:
+                        report["failures"].append(f"{key}: bwd {k} {v}")
+    report["ok"] = not report["failures"]
+    out_path = os.path.join(REPO, "TPU_SELFTEST.json")
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps({"ok": report["ok"],
+                      "n_cases": len(report["cases"]),
+                      "failures": report["failures"]}))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
