@@ -47,7 +47,25 @@ from multimodalfusion_tpu.utils.experiment import read_settings
 
 def build_parser():
     p = argparse.ArgumentParser(description="attention heatmaps")
-    p.add_argument("--config", type=str, required=True, help="YAML config")
+    p.add_argument("--config", "--config_file", dest="config", type=str,
+                   required=True,
+                   help="YAML config (--config_file is the reference "
+                        "spelling, ref create_heatmaps.py:53)")
+    p.add_argument("--save_exp_code", type=str, default=None,
+                   help="override the experiment output dir: results go "
+                        "to exp_arguments.raw_save_dir/<code> (or the "
+                        "save_dir's parent when raw_save_dir is unset; "
+                        "ref create_heatmaps.py:50,164)")
+    p.add_argument("--overlap", type=float, default=None,
+                   help="override heatmap_arguments.overlap "
+                        "(ref create_heatmaps.py:52)")
+    p.add_argument("--sampling", action="store_true", default=False,
+                   help="run the patch-sampling phase; passing --sampling "
+                        "or --heatmap runs EXACTLY the requested phases "
+                        "(ref create_heatmaps.py:54-55,69-70), otherwise "
+                        "the YAML decides")
+    p.add_argument("--heatmap", action="store_true", default=False,
+                   help="run the heatmap-rendering phase (see --sampling)")
     return p
 
 
@@ -132,6 +150,11 @@ def run_path_branch(cfg_ns) -> int:
     s = getattr(cfg_ns, "sample_arguments", SimpleNamespace())
     p = cfg_ns.patching_arguments
     save_dir = ensure_dir(cfg_ns.exp_arguments.save_dir)
+    # phase gating (ref create_heatmaps.py:54-55,69-70 sampling/heatmap
+    # modes; both default ON here so a bare YAML run stays complete)
+    heatmap_mode = bool(getattr(cfg_ns.exp_arguments, "heatmap_mode", True))
+    sampling_mode = bool(getattr(cfg_ns.exp_arguments, "sampling_mode",
+                                 True))
 
     process_df = pd.read_csv(d.process_list)
     # model/checkpoint are bag-length independent: load ONCE with a dummy
@@ -192,7 +215,7 @@ def run_path_branch(cfg_ns) -> int:
                        "coords": np.asarray(coords, np.int64)}, mode="w")
 
         seg_kwargs = {}
-        if segment:
+        if segment and heatmap_mode:
             t, hl = _contours()
             seg_kwargs = dict(segment=True, tissue=t, holes=hl,
                               use_holes=bool(getattr(h, "use_holes", True)))
@@ -220,37 +243,39 @@ def run_path_branch(cfg_ns) -> int:
             from multimodalfusion_tpu.interpret.heatmaps import \
                 score_to_percentile
             draw_scores = score_to_percentile(scores, scores) / 100.0
-        heat = draw_heatmap(slide, draw_scores, coords,
-                            patch_size=patch_size,
-                            vis_level=vis_level, **roi_kwargs,
-                            alpha=float(getattr(h, "alpha", 0.4)),
-                            blur=bool(getattr(h, "blur", False)),
-                            use_percentiles=not use_ref_scores,
-                            binarize=bool(getattr(h, "binarize", False)),
-                            threshold=float(getattr(h, "binary_thresh",
-                                                    -1.0)),
-                            blank_canvas=bool(getattr(h, "blank_canvas",
+        if heatmap_mode:
+            heat = draw_heatmap(slide, draw_scores, coords,
+                                patch_size=patch_size,
+                                vis_level=vis_level, **roi_kwargs,
+                                alpha=float(getattr(h, "alpha", 0.4)),
+                                blur=bool(getattr(h, "blur", False)),
+                                use_percentiles=not use_ref_scores,
+                                binarize=bool(getattr(h, "binarize",
                                                       False)),
-                            custom_downsample=int(getattr(
-                                h, "custom_downsample", 1)),
-                            cmap=getattr(h, "cmap", "coolwarm"),
-                            **seg_kwargs)
-        ext = getattr(h, "save_ext", "jpg")
-        out = os.path.join(save_dir, f"{stem}_heatmap.{ext}")
-        cv2.imwrite(out, cv2.cvtColor(heat, cv2.COLOR_RGB2BGR))
-        print(f"{stem}: heatmap -> {out}")
-        if bool(getattr(h, "save_orig", False)):
-            vl = vis_level if vis_level is not None \
-                else slide.level_count - 1
-            orig = slide.read_region((0, 0), vl,
-                                     slide.level_dimensions[vl])
-            cv2.imwrite(os.path.join(save_dir, f"{stem}_orig.{ext}"),
-                        cv2.cvtColor(orig, cv2.COLOR_RGB2BGR))
+                                threshold=float(getattr(h, "binary_thresh",
+                                                        -1.0)),
+                                blank_canvas=bool(getattr(h, "blank_canvas",
+                                                          False)),
+                                custom_downsample=int(getattr(
+                                    h, "custom_downsample", 1)),
+                                cmap=getattr(h, "cmap", "coolwarm"),
+                                **seg_kwargs)
+            ext = getattr(h, "save_ext", "jpg")
+            out = os.path.join(save_dir, f"{stem}_heatmap.{ext}")
+            cv2.imwrite(out, cv2.cvtColor(heat, cv2.COLOR_RGB2BGR))
+            print(f"{stem}: heatmap -> {out}")
+            if bool(getattr(h, "save_orig", False)):
+                vl = vis_level if vis_level is not None \
+                    else slide.level_count - 1
+                orig = slide.read_region((0, 0), vl,
+                                         slide.level_dimensions[vl])
+                cv2.imwrite(os.path.join(save_dir, f"{stem}_orig.{ext}"),
+                            cv2.cvtColor(orig, cv2.COLOR_RGB2BGR))
 
         # optional fine heatmap at overlapping stride (ref
         # heatmap_utils.compute_from_patches at overlap 0.75)
         overlap = float(getattr(h, "overlap", 0.0) or 0.0)
-        if overlap > 0:
+        if overlap > 0 and heatmap_mode:
             from multimodalfusion_tpu.interpret.heatmaps import \
                 compute_fine_scores
             if embedder is None:
@@ -292,7 +317,7 @@ def run_path_branch(cfg_ns) -> int:
         #   sample_arguments.samples: [{name, sample, seed, k, mode,
         #     score_start/score_end}, ...]  — reference list form
         #   sample_arguments.{floor, save_n}  — shorthand (topk + reverse)
-        specs = getattr(s, "samples", None)
+        specs = getattr(s, "samples", None) if sampling_mode else []
         if specs is None:
             k = dynamic_k(len(scores), floor=int(getattr(s, "floor", 200)))
             save_n = int(getattr(s, "save_n", 8))
@@ -592,9 +617,27 @@ def run_omic_branch(cfg_ns) -> int:
     return 0
 
 
+def apply_cli_overrides(cfg_ns, args) -> None:
+    """Reference-parity CLI overrides on top of the YAML
+    (ref create_heatmaps.py:50-55 — users' scripts pass these)."""
+    exp = cfg_ns.exp_arguments
+    if args.save_exp_code:
+        base = getattr(exp, "raw_save_dir", None) or os.path.dirname(
+            os.path.normpath(getattr(exp, "save_dir", ".")))
+        exp.save_dir = os.path.join(base, args.save_exp_code)
+    if args.overlap is not None:
+        if not hasattr(cfg_ns, "heatmap_arguments"):
+            cfg_ns.heatmap_arguments = SimpleNamespace()
+        cfg_ns.heatmap_arguments.overlap = args.overlap
+    if args.sampling or args.heatmap:
+        exp.heatmap_mode = bool(args.heatmap)
+        exp.sampling_mode = bool(args.sampling)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg_ns = load_config(args.config)
+    apply_cli_overrides(cfg_ns, args)
     branch = getattr(cfg_ns.exp_arguments, "branch", "path")
     if branch == "path":
         return run_path_branch(cfg_ns)

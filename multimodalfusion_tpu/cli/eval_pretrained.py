@@ -27,6 +27,18 @@ def build_parser():
     p.add_argument("--k_start", type=int, default=-1)
     p.add_argument("--k_end", type=int, default=-1)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--which_splits", type=str, default=None,
+                   help="evaluate against a different split set: replaces "
+                        "the last component of the training split_dir "
+                        "(ref eval_pretrained.py:97,120 rebuilds "
+                        "splits/{cancer_type}/{which_splits})")
+    p.add_argument("--split_mode", type=str, default=None,
+                   choices=["train_val", "train_val_test"],
+                   help="override the training run's split_mode "
+                        "(ref eval_pretrained.py:99)")
+    p.add_argument("--overwrite", action="store_true", default=False,
+                   help="re-evaluate even if eval_summary.csv already "
+                        "exists (ref eval_pretrained.py:101,160-162)")
     return p
 
 
@@ -38,6 +50,17 @@ def main(argv=None) -> int:
     settings = read_settings(settings_path)
     out_dir = args.results_dir or args.model_path
     os.makedirs(out_dir, exist_ok=True)
+    summary_path = os.path.join(out_dir, "eval_summary.csv")
+    if os.path.exists(summary_path) and not args.overwrite:
+        print(f"eval results already exist at {summary_path} — pass "
+              "--overwrite to re-evaluate (ref eval_pretrained.py:160)")
+        return 0
+    if args.which_splits:
+        # point the settings' split_dir at a sibling split set
+        # (ref eval_pretrained.py:120: splits/{cancer}/{which_splits})
+        settings["split_dir"] = os.path.join(
+            os.path.dirname(os.path.normpath(settings["split_dir"])),
+            args.which_splits)
 
     dataset = SurvivalDataset(
         csv_path=settings["csv_path"], mode=settings["mode"],
@@ -46,7 +69,7 @@ def main(argv=None) -> int:
         n_bins=settings["n_classes"], label_col="survival_months",
         seed=settings["seed"], pretrained=True, print_info=True)
 
-    split_mode = settings.get("split_mode", "train_val")
+    split_mode = args.split_mode or settings.get("split_mode", "train_val")
     k = settings["num_splits"]
     start = 0 if args.k_start == -1 else args.k_start
     end = k if args.k_end == -1 else args.k_end

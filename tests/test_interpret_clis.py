@@ -270,6 +270,23 @@ def test_heatmap_path_branch(trained, tmp_path):
                      ).glob("*.png"))) == 2
     assert not (tmp_path / "hm_onmiss" / "HEAT1_skipped").exists()
 
+    # ---- reference CLI overrides (ref create_heatmaps.py:50-55):
+    # --config_file spelling, --save_exp_code redirection, --overlap
+    # override, and --sampling phase gating (passing it runs EXACTLY
+    # the requested phases, so no heatmap is rendered here)
+    config["data_arguments"]["feat_dir"] = str(tmp_path / "wsifeat")
+    config["exp_arguments"]["raw_save_dir"] = str(tmp_path / "raw")
+    config["sample_arguments"] = {"floor": 4, "save_n": 2}
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config_file", str(cfg_path),
+                  "--save_exp_code", "EXP_OVERRIDE",
+                  "--overlap", "0.0", "--sampling"])
+    assert rc == 0
+    out_dir = tmp_path / "raw" / "EXP_OVERRIDE"
+    assert len(list((out_dir / "HEAT1_topk").glob("*.png"))) == 2
+    assert not (out_dir / "HEAT1_heatmap.jpg").exists()   # phase gated
+    assert not (out_dir / "HEAT1_fine_heatmap.jpg").exists()
+
 
 def test_heatmap_radio_branch_lung_display(trained, tmp_path):
     """cancer_type: lung routes the display render through the CT

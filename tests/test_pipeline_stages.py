@@ -98,6 +98,18 @@ def test_full_pipeline(base):
     assert 0.0 < ev["val_ibs"].mean() < 0.5, ev  # sane Brier range
     assert (exp / "eval_val_0_results.pkl").exists()
 
+    # re-running refuses unless --overwrite (ref eval_pretrained.py:101,
+    # 160-162): the existing summary must survive a guarded rerun
+    sig = (exp / "eval_summary.csv").read_bytes()
+    (exp / "eval_summary.csv").write_bytes(b"sentinel")
+    rc = eval_main(["--model_path", str(exp)])
+    assert rc == 0
+    assert (exp / "eval_summary.csv").read_bytes() == b"sentinel"
+    rc = eval_main(["--model_path", str(exp), "--overwrite"])
+    assert rc == 0
+    assert pd.read_csv(exp / "eval_summary.csv").equals(ev)
+    del sig
+
 
 def test_unimodal_pretrained_head(base):
     b, df = base
