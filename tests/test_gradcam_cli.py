@@ -98,3 +98,108 @@ def test_preprocess_lung_volume_return_mask():
     with pytest.raises(ValueError):
         preprocess_lung_volume(vol, (2.0, 1.0, 1.0),
                                segment_each_slice=True, return_mask=True)
+
+
+def test_gradcam_cohort_mode(tmp_path):
+    """Cohort driving (ref gradcam.py:30-70): scan-list CSV + the heatmap
+    radio branch's scores.csv select slices; per-subject ig_heatmap
+    overlays (top mode) and attention-weighted CAM volumes
+    (--all_slices), with idempotent skip."""
+    import pandas as pd
+    b = tmp_path
+    csv_path, df, latent = make_cohort_csv(
+        str(b / "dataset_csv" / "brain"), n=20, seed=5)
+    make_feature_store(str(b / "features" / "brain"), df, latent, seed=5,
+                       bag_range=(5, 12))
+    make_splits(str(b / "splits" / "brain" / "1fold"), df, k=1)
+    rc = s2_main(["--cancer_type", "brain", "--which_splits", "1fold",
+                  "--k", "1", "--max_epochs", "1",
+                  "--model_type", "radio_attention_mil", "--mode", "radio",
+                  "--radio_fusion", "concat", "--bag_loss", "nll_surv",
+                  "--batch_size", "4",
+                  "--data_root_dir", str(b / "features"),
+                  "--dataset_root", str(b / "dataset_csv"),
+                  "--splits_root", str(b / "splits"),
+                  "--results_dir", str(b / "res"), "--overwrite"])
+    assert rc == 0
+    exp = next((b / "res" / "brain" / "1fold").iterdir())
+
+    # two subjects x two modalities of tiny glioma scans; slice ids
+    # after black-slice dropping are 1..6
+    rng = np.random.default_rng(1)
+    scans_dir = b / "scans"
+    os.makedirs(scans_dir)
+    rows = []
+    for subj in ("SUBJ000", "SUBJ001"):
+        row = {"subject_id": subj}
+        for mod in ("T1", "T2"):
+            vol = np.zeros((8, 96, 96), np.float32)
+            vol[1:7, 16:80, 16:80] = rng.uniform(5, 90, size=(6, 64, 64))
+            p = f"{subj}_{mod}.nii.gz"
+            write_nifti(str(scans_dir / p), vol,
+                        origin_lps=(0.0, -239.0, 0.0))
+            row[mod] = p
+        rows.append(row)
+    cohort_csv = str(b / "scan_list.csv")
+    pd.DataFrame(rows).to_csv(cohort_csv, index=False)
+
+    # attention scores in the heatmap radio branch's layout
+    srows = []
+    for subj in ("SUBJ000", "SUBJ001"):
+        for sid in range(1, 7):
+            srows.append({"subject_id": subj, "slice_index": sid,
+                          "attention": float(10 - sid),
+                          "group": "top" if sid <= 3 else "low"})
+    scores_csv = str(b / "scores.csv")
+    pd.DataFrame(srows).to_csv(scores_csv, index=False)
+
+    common = ["--ckpt_path", str(exp), "--which_k", "0",
+              "--csv_path", cohort_csv, "--radio_dir", str(scans_dir),
+              "--scores_csv", scores_csv, "--image_size", "96",
+              "--modalities", "T1,T2", "--allow_random_weights",
+              "--no_aug_smooth"]
+
+    # ---- top mode: top-2 slices x 2 modalities = 4 PNGs per subject,
+    # named {modality}_{rank}_{slice_id}.png (ref gradcam.py:114)
+    rc = gc_main(common + ["--save_dir", str(b / "coh"), "--top", "2"])
+    assert rc == 0
+    for subj in ("SUBJ000", "SUBJ001"):
+        pngs = sorted(p.name for p in
+                      (b / "coh" / subj / "ig_heatmap").glob("*.png"))
+        # highest scores are slice ids 1 and 2
+        assert pngs == ["T1_0_1.png", "T1_1_2.png",
+                        "T2_0_1.png", "T2_1_2.png"], pngs
+
+    # idempotent skip: drop a sentinel, rerun without --overwrite
+    marker = b / "coh" / "SUBJ000" / "ig_heatmap" / "T1_0_1.png"
+    sig = marker.read_bytes()
+    marker.write_bytes(b"sentinel")
+    rc = gc_main(common + ["--save_dir", str(b / "coh"), "--top", "2"])
+    assert rc == 0
+    assert marker.read_bytes() == b"sentinel"
+    rc = gc_main(common + ["--save_dir", str(b / "coh"), "--top", "2",
+                           "--overwrite"])
+    assert rc == 0
+    assert marker.read_bytes() == sig
+
+    # ---- --subject restriction + --all_slices volumes
+    rc = gc_main(common + ["--save_dir", str(b / "coh_all"),
+                           "--all_slices", "--subject", "SUBJ001"])
+    assert rc == 0
+    assert not (b / "coh_all" / "SUBJ000").exists()
+    sub = b / "coh_all" / "SUBJ001"
+    for mod in ("T1", "T2"):
+        attr = read_nifti(str(sub / f"SUBJ001_{mod}_attr.nii.gz")).data
+        orig = read_nifti(str(sub / f"SUBJ001_{mod}_orig.nii.gz")).data
+        # glioma preprocessing crops to the nonzero bounding box (64x64)
+        assert attr.shape == orig.shape == (6, 64, 64)
+        assert np.isfinite(attr).all()
+        assert 0.0 <= attr.min() and attr.max() <= 1.0 + 1e-5
+        side = list((sub / "ig_heatmap_all" / mod).glob("all_*.png"))
+        assert len(side) == 6
+    # cross-modality normalization: the global max over BOTH attr
+    # volumes is exactly 1
+    t1 = read_nifti(str(sub / "SUBJ001_T1_attr.nii.gz")).data
+    t2 = read_nifti(str(sub / "SUBJ001_T2_attr.nii.gz")).data
+    assert max(t1.max(), t2.max()) == pytest.approx(1.0, abs=1e-5)
+    assert (sub / "heatmap.pkl").exists()
