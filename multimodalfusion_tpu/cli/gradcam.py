@@ -194,6 +194,86 @@ def _scan_cams(resnet, res_vars, amil, amil_vars, n_mod, mod_slot,
     return np.asarray(cams), np.asarray(attn_scores(x_norm))
 
 
+class CamRunner:
+    """Compile-once CAM program for cohort driving.
+
+    ``_scan_cams`` builds fresh closures per scan, so every
+    subject x modality re-traces (and every distinct slice count
+    recompiles) — across a real cohort the compiles dominate chip time.
+    This runner jits ONE program with the modality slot as a traced
+    scalar and pads the slice axis to a bucket (mask-excluded from the
+    attention softmax), so the whole cohort compiles once per
+    (bucket, aug-variant) pair.  CAM/score equality with the
+    verified-as-run ``_scan_cams`` path is pinned in
+    tests/test_gradcam_cli.py."""
+
+    BUCKET = 16
+
+    def __init__(self, resnet, res_vars, amil, amil_vars, n_mod,
+                 aug_smooth: bool):
+        self.aug = aug_smooth
+
+        def spatial_fn(xn):
+            return resnet.apply(res_vars, xn, return_spatial=True)
+
+        def _bag(act, slot):
+            emb = jnp.mean(act, axis=(1, 2))
+            Np = emb.shape[0]
+            bag = jnp.zeros((1, Np, n_mod * 1024), emb.dtype)
+            return jax.lax.dynamic_update_slice(
+                bag, emb[None], (0, 0, slot * 1024))
+
+        from multimodalfusion_tpu.interpret.gradcam import gradcam_pp
+
+        @jax.jit
+        def _cam(xn, mask, slot):
+            act = spatial_fn(xn)
+
+            def head(a):
+                out = amil.apply(amil_vars, bags=_bag(a, slot),
+                                 mask=mask[None], deterministic=True)
+                return out["risk"]
+
+            grads = jax.grad(lambda a: jnp.sum(head(a)))(act)
+            return gradcam_pp(act, grads)
+
+        @jax.jit
+        def _scores(xn, mask, slot):
+            return amil.apply(
+                amil_vars, bags=_bag(spatial_fn(xn), slot),
+                mask=mask[None], deterministic=True,
+                attention_only=True)[0]
+
+        self._cam, self._scores = _cam, _scores
+
+    def __call__(self, x_norm, slot: int):
+        """(cams [N, h, w], attention scores [N]) for a normalized scan;
+        pads N to the bucket internally."""
+        N = x_norm.shape[0]
+        n_pad = -N % self.BUCKET
+        mask = jnp.asarray(
+            np.concatenate([np.ones(N, np.float32),
+                            np.zeros(n_pad, np.float32)]))
+        x = jnp.pad(x_norm, ((0, n_pad), (0, 0), (0, 0), (0, 0)))
+        slot = jnp.asarray(slot, jnp.int32)
+        if not self.aug:
+            cams = self._cam(x, mask, slot)
+        else:
+            # pytorch-grad-cam's aug_smooth (ref gradcam.py:105): mean of
+            # per-variant min-max-scaled CAMs over flip x brightness
+            acc = []
+            for flip in (False, True):
+                xv = jnp.flip(x, axis=2) if flip else x
+                for factor in (0.9, 1.0, 1.1):
+                    cam = self._cam(xv * factor, mask, slot)
+                    if flip:
+                        cam = jnp.flip(cam, axis=2)
+                    acc.append(cam)
+            cams = jnp.mean(jnp.stack(acc), axis=0)
+        scores = self._scores(x, mask, slot)
+        return np.asarray(cams)[:N], np.asarray(scores)[:N]
+
+
 def _preprocess(path, lung: bool, want_mask: bool):
     """(slices [N,H,W] in [0,1], slice ids [N], lung mask or None)."""
     if lung:
@@ -305,7 +385,7 @@ def run_cohort(args) -> int:
     lung = args.cancer_type == "lung" or args.segment
     aug = not args.no_aug_smooth
 
-    resnet = amil = res_vars = amil_vars = None
+    resnet = res_vars = runner = None
     out_name = "ig_heatmap_all" if args.all_slices else "ig_heatmap"
     n_done = 0
     for _, row in cohort.iterrows():
@@ -341,11 +421,12 @@ def run_cohort(args) -> int:
                 if res_vars is None:
                     return 2
                 amil, amil_vars = _load_amil(args, settings, ckpt_mods)
-            x_norm = jax.jit(lambda im: preprocess_images(
-                im, center_crop=args.image_size))(images)
+                runner = CamRunner(resnet, res_vars, amil, amil_vars,
+                                   len(ckpt_mods), aug)
+            x_norm = preprocess_images(images,
+                                       center_crop=args.image_size)
             slot = ckpt_mods.index(m) if m in ckpt_mods else 0
-            cams, scores = _scan_cams(resnet, res_vars, amil, amil_vars,
-                                      len(ckpt_mods), slot, x_norm, aug)
+            cams, scores = runner(x_norm, slot)
             per_mod[m] = {"slices": slices,
                           "ids": [int(s) for s in sids],
                           "mask": lmask,

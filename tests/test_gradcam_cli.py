@@ -203,3 +203,40 @@ def test_gradcam_cohort_mode(tmp_path):
     t2 = read_nifti(str(sub / "SUBJ001_T2_attr.nii.gz")).data
     assert max(t1.max(), t2.max()) == pytest.approx(1.0, abs=1e-5)
     assert (sub / "heatmap.pkl").exists()
+
+
+def test_cam_runner_matches_scan_cams():
+    """The compile-once cohort CamRunner (slot traced, slices padded to
+    a bucket and mask-excluded) must produce the exact CAMs/scores of
+    the per-scan closures that were parity-verified against the
+    reference's grad_cam_radio."""
+    import jax
+    import jax.numpy as jnp
+    from multimodalfusion_tpu.cli.gradcam import CamRunner, _scan_cams
+    from multimodalfusion_tpu.engine.train import TrainConfig, build_model
+    from multimodalfusion_tpu.models.resnet import ResNet50Trunc
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 64, 64, 3)).astype(np.float32))
+    resnet = ResNet50Trunc()
+    res_vars = resnet.init(jax.random.PRNGKey(0), x[:1])
+    mods = ("T1", "T2")
+    cfg = TrainConfig(model_type="radio_attention_mil", mode="radio",
+                      modalities=mods, n_classes=4, bag_loss="nll_surv",
+                      radio_fusion="concat", batch_size=1, seed=0)
+    amil = build_model(cfg)
+    amil_vars = dict(amil.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        bags=jnp.zeros((1, 16, 2048), jnp.float32),
+        mask=jnp.ones((1, 16), jnp.float32), deterministic=True))
+
+    for aug in (False, True):
+        runner = CamRunner(resnet, res_vars, amil, amil_vars, len(mods),
+                           aug)
+        for slot in (0, 1):
+            want_c, want_s = _scan_cams(resnet, res_vars, amil, amil_vars,
+                                        len(mods), slot, x, aug)
+            got_c, got_s = runner(x, slot)
+            assert got_c.shape == want_c.shape == (5, 4, 4)
+            np.testing.assert_allclose(got_s, want_s, rtol=0, atol=1e-5)
+            np.testing.assert_allclose(got_c, want_c, rtol=0, atol=1e-4)
