@@ -120,45 +120,120 @@ def bwd_case(rng, B, N, D, Da, dtype, gated, dropout):
     return errs
 
 
+def sharded_pool_case(rng):
+    """Compile + run the bag-sharded pooling (shard_map + fused kernels
+    + pmax/psum combine) on the real chip via a 1-device mesh, forward
+    and backward, with and without dropout — the CPU tests only ever
+    exercise this path in interpret mode or on the virtual mesh."""
+    from jax.sharding import Mesh
+    from multimodalfusion_tpu.ops.sharded_pool import sharded_attention_pool
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("bag",))
+    errs = {}
+    for dropout in (False, True):
+        h, mask, params = make_case(rng, 4, 700, 256, 256, jnp.float32)
+        da = db = None
+        if dropout:
+            da, db = mil.make_dropout_masks(jax.random.PRNGKey(7),
+                                            (4, 700, 256), gated=True)
+
+        def f_sh(hh, pp):
+            return jnp.sum(sharded_attention_pool(
+                hh, mask, pp, True, mesh, da=da, db=db) ** 2)
+
+        def f_ref(hh, pp):
+            if dropout:
+                return jnp.sum(mil._pool_reference_dropout(
+                    hh, mask, da, db, pp, True) ** 2)
+            return jnp.sum(mil._pool_reference(hh, mask, pp, True) ** 2)
+
+        out_sh = sharded_attention_pool(h, mask, params, True, mesh,
+                                        da=da, db=db)
+        out_ref = (mil._pool_reference_dropout(h, mask, da, db, params,
+                                               True) if dropout
+                   else mil._pool_reference(h, mask, params, True))
+        key = "dropout" if dropout else "plain"
+        errs[f"{key}_fwd"] = rel_err(out_sh, out_ref)
+        g_sh = jax.grad(f_sh, argnums=(0, 1))(h, params)
+        g_ref = jax.grad(f_ref, argnums=(0, 1))(h, params)
+        errs[f"{key}_dh"] = rel_err(g_sh[0], g_ref[0])
+        errs[f"{key}_dWa"] = rel_err(g_sh[1].Wa, g_ref[1].Wa)
+    return errs
+
+
+def _belongs_to(name: str, only: str) -> bool:
+    """Whether a case key / failure line belongs to the group being
+    re-run (so merging replaces it instead of duplicating)."""
+    is_sharded = "sharded_pool" in name
+    return is_sharded == (only == "sharded")
+
+
 def main() -> int:
+    # `--only kernels` / `--only sharded` split the run across two
+    # invocations: the full set of compiles can exceed a 10-minute
+    # wrapper timeout through the remote-compile relay.  Results merge
+    # into the same TPU_SELFTEST.json.
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     if jax.default_backend() != "tpu":
         print(json.dumps({"error": "not on TPU backend; this selftest "
                           "only means something on the real chip"}))
         return 2
     rng = np.random.default_rng(0)
+    out_path = os.path.join(REPO, "TPU_SELFTEST.json")
     report = {"backend": jax.default_backend(),
               "device": str(jax.devices()[0]),
               "cases": {}, "failures": []}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        report["cases"] = prev.get("cases", {})
+        report["failures"] = [x for x in prev.get("failures", [])
+                              if not _belongs_to(x, only)]
+        report["cases"] = {k: v for k, v in report["cases"].items()
+                           if not _belongs_to(k, only)}
     # shapes cross tile boundaries (tile 2048/1024 fwd, 1024/512 bwd)
     # and exercise non-multiple-of-128 N padding
     shapes = [(4, 300, 256, 256), (8, 1100, 256, 256),
               (2, 4096, 1024, 256), (3, 2500, 1024, 256)]
-    for dtype, tol_f, tol_b in ((jnp.float32, 1e-2, 1e-2),
-                                (jnp.bfloat16, 2e-2, 5e-2)):
-        for gated in (True, False):
-            for dropout in (False, True):
-                worst_f = 0.0
-                worst_b = {}
-                for (B, N, D, Da) in shapes:
-                    worst_f = max(worst_f, fwd_case(
-                        rng, B, N, D, Da, dtype, gated, dropout))
-                    for k, v in bwd_case(rng, B, N, D, Da, dtype, gated,
-                                         dropout).items():
-                        worst_b[k] = max(worst_b.get(k, 0.0), v)
-                key = (f"{np.dtype(dtype).name}_"
-                       f"{'gated' if gated else 'ungated'}"
-                       f"{'_dropout' if dropout else ''}")
-                report["cases"][key] = {
-                    "fwd_rel": worst_f, "bwd_rel": worst_b,
-                    "tol_fwd": tol_f, "tol_bwd": tol_b}
-                if worst_f > tol_f:
-                    report["failures"].append(f"{key}: fwd {worst_f}")
-                for k, v in worst_b.items():
-                    tol = 1e-6 if k == "cc_is_zero" else tol_b
-                    if v > tol:
-                        report["failures"].append(f"{key}: bwd {k} {v}")
+    if only in (None, "kernels"):
+        for dtype, tol_f, tol_b in ((jnp.float32, 1e-2, 1e-2),
+                                    (jnp.bfloat16, 2e-2, 5e-2)):
+            for gated in (True, False):
+                for dropout in (False, True):
+                    worst_f = 0.0
+                    worst_b = {}
+                    for (B, N, D, Da) in shapes:
+                        worst_f = max(worst_f, fwd_case(
+                            rng, B, N, D, Da, dtype, gated, dropout))
+                        for k, v in bwd_case(rng, B, N, D, Da, dtype,
+                                             gated, dropout).items():
+                            worst_b[k] = max(worst_b.get(k, 0.0), v)
+                    key = (f"{np.dtype(dtype).name}_"
+                           f"{'gated' if gated else 'ungated'}"
+                           f"{'_dropout' if dropout else ''}")
+                    print(f"[{key}] fwd {worst_f:.2e}", file=sys.stderr,
+                          flush=True)
+                    report["cases"][key] = {
+                        "fwd_rel": worst_f, "bwd_rel": worst_b,
+                        "tol_fwd": tol_f, "tol_bwd": tol_b}
+                    if worst_f > tol_f:
+                        report["failures"].append(f"{key}: fwd {worst_f}")
+                    for k, v in worst_b.items():
+                        tol = 1e-6 if k == "cc_is_zero" else tol_b
+                        if v > tol:
+                            report["failures"].append(
+                                f"{key}: bwd {k} {v}")
+    if only in (None, "sharded"):
+        sh = sharded_pool_case(rng)
+        print(f"[sharded_pool] {sh}", file=sys.stderr, flush=True)
+        report["cases"]["sharded_pool_1dev_mesh"] = {"rel": sh,
+                                                     "tol": 1e-2}
+        for k, v in sh.items():
+            if v > 1e-2:
+                report["failures"].append(f"sharded_pool {k} {v}")
     report["ok"] = not report["failures"]
-    out_path = os.path.join(REPO, "TPU_SELFTEST.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
         f.write("\n")
