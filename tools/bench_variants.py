@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 from bench import _sync  # noqa: E402
 
 
-def bench_amil(drop_out: bool, B=32, N=4096, D=1024, iters=100, reps=3):
+def bench_amil(drop_out: bool, B=48, N=4096, D=1024, iters=100, reps=3):
     import jax
     import jax.numpy as jnp
     from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
@@ -95,7 +95,7 @@ def main():
     wd.set()
     out = {
         "metric": "amil_train_bags_per_sec_variants",
-        "unit": "bags/s/chip (32x4096x1024 bf16 bags, nll_surv, "
+        "unit": "bags/s/chip (48x4096x1024 bf16 bags, nll_surv, "
                 "fwd+bwd+opt, in-graph chained, same session)",
         "backend": backend,
         "variants": {
