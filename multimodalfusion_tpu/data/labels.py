@@ -22,8 +22,28 @@ def compute_bins(patients_df: pd.DataFrame, label_col: str = "survival_months",
     the whole cohort (ref dataset_survival.py:37-40)."""
     uncensored = patients_df[patients_df["censorship"] < 1]
     train_uncensored = uncensored[uncensored["train"] == 1]
+    # the reference hits raw pandas errors on these cohorts ("Bin edges
+    # must be unique: [nan, nan, ...]"); refuse with the actual cause
+    if len(train_uncensored) == 0:
+        raise ValueError(
+            f"cannot derive {n_bins} survival bins: the train split has "
+            "no uncensored patients (binning quantiles come from "
+            "uncensored training survival times, "
+            "ref dataset_survival.py:38-42)")
+    n_distinct = train_uncensored[label_col].nunique()
+    if n_distinct < n_bins:
+        raise ValueError(
+            f"cannot derive {n_bins} survival bins: uncensored train "
+            f"patients have only {n_distinct} distinct '{label_col}' "
+            f"value(s); lower --n_classes or check the label column")
     _, q_bins = pd.qcut(train_uncensored[label_col], q=n_bins,
-                        retbins=True, labels=False)
+                        retbins=True, labels=False, duplicates="drop")
+    if len(q_bins) != n_bins + 1:
+        # qcut collapsed tied quantile edges (heavily tied times)
+        raise ValueError(
+            f"cannot derive {n_bins} survival bins: quantile edges "
+            f"collapse to {len(q_bins) - 1} bins because '{label_col}' "
+            "values are heavily tied; lower --n_classes")
     q_bins = np.asarray(q_bins, dtype=np.float64)
     q_bins[-1] = patients_df[label_col].max() + eps
     q_bins[0] = patients_df[label_col].min() - eps

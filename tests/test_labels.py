@@ -50,3 +50,30 @@ def test_discretize_end_to_end():
     # class id consistency
     for i in range(len(df)):
         assert lab[i] == ld[(int(disc[i]), int(df["censorship"].iloc[i]))]
+
+
+def test_degenerate_cohorts_raise_pointed_errors():
+    """Cohorts the reference crashes on with raw pandas errors ("Bin
+    edges must be unique: [nan, ...]") must refuse with the actual
+    cause named: no uncensored train patients, or too few / too tied
+    survival values for the requested bin count."""
+    import pytest
+    from multimodalfusion_tpu.data.labels import compute_bins
+
+    def cohort(times, censorship):
+        return pd.DataFrame({"survival_months": times,
+                             "censorship": censorship,
+                             "train": 1})
+
+    with pytest.raises(ValueError, match="no uncensored"):
+        compute_bins(cohort([1.0, 2.0, 3.0, 4.0], [1, 1, 1, 1]), n_bins=4)
+    with pytest.raises(ValueError, match="distinct"):
+        compute_bins(cohort([12.0] * 10, [0] * 10), n_bins=4)
+    with pytest.raises(ValueError, match="tied"):
+        # 4 distinct values but so tied the quartile edges collapse
+        compute_bins(cohort([1.0] * 20 + [2.0, 3.0, 4.0], [0] * 23),
+                     n_bins=4)
+    # a healthy cohort still bins exactly as before
+    bins = compute_bins(cohort(list(np.linspace(1, 100, 24)), [0] * 24),
+                        n_bins=4)
+    assert len(bins) == 5
