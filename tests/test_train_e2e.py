@@ -510,3 +510,18 @@ def test_early_stopping_ignores_nan_val_loss(tmp_path):
     assert stopper.early_stop          # NaNs count against patience
     assert open(ckpt, "rb").read() == sig  # best checkpoint untouched
     assert stopper.val_loss_min == 1.0
+
+
+def test_doctor_cli(capsys):
+    """The environment doctor runs all checks green in this image
+    (warnings for optional deps are fine) and exits 0."""
+    from multimodalfusion_tpu.cli.doctor import main as doctor_main
+    rc = doctor_main([])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "doctor: ok" in out
+    assert "[fail]" not in out
+    # the checks that must be hard-green in this image
+    for probe in ("platform: jax", "NIfTI write/read",
+                  "DICOM write/read", "fused pooling"):
+        assert probe in out, out
