@@ -240,3 +240,36 @@ def test_cam_runner_matches_scan_cams():
             assert got_c.shape == want_c.shape == (5, 4, 4)
             np.testing.assert_allclose(got_s, want_s, rtol=0, atol=1e-5)
             np.testing.assert_allclose(got_c, want_c, rtol=0, atol=1e-4)
+
+
+def test_cam_runner_compiles_once_per_bucket():
+    """Scans of different lengths inside one 16-slice bucket and
+    different modality slots must all hit ONE compiled program (the
+    point of CamRunner vs the per-scan closures)."""
+    import jax
+    import jax.numpy as jnp
+    from multimodalfusion_tpu.cli.gradcam import CamRunner
+    from multimodalfusion_tpu.engine.train import TrainConfig, build_model
+    from multimodalfusion_tpu.models.resnet import ResNet50Trunc
+
+    rng = np.random.default_rng(1)
+    resnet = ResNet50Trunc()
+    x0 = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    res_vars = resnet.init(jax.random.PRNGKey(0), x0)
+    cfg = TrainConfig(model_type="radio_attention_mil", mode="radio",
+                      modalities=("T1", "T2"), n_classes=4,
+                      bag_loss="nll_surv", radio_fusion="concat",
+                      batch_size=1, seed=0)
+    amil = build_model(cfg)
+    amil_vars = dict(amil.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        bags=jnp.zeros((1, 16, 2048), jnp.float32),
+        mask=jnp.ones((1, 16), jnp.float32), deterministic=True))
+    runner = CamRunner(resnet, res_vars, amil, amil_vars, 2,
+                       aug_smooth=False)
+    for n, slot in ((5, 0), (11, 1), (16, 0), (3, 1)):
+        x = jnp.asarray(rng.normal(size=(n, 64, 64, 3)).astype(np.float32))
+        cams, scores = runner(x, slot)
+        assert cams.shape[0] == scores.shape[0] == n
+    assert runner._cam._cache_size() == 1
+    assert runner._scores._cache_size() == 1
