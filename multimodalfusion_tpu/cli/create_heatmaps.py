@@ -258,7 +258,7 @@ def run_path_branch(cfg_ns) -> int:
                                                           False)),
                                 custom_downsample=int(getattr(
                                     h, "custom_downsample", 1)),
-                                cmap=getattr(h, "cmap", "coolwarm"),
+                                cmap=getattr(h, "cmap", "RdYlBu_r"),
                                 **seg_kwargs)
             ext = getattr(h, "save_ext", "jpg")
             out = os.path.join(save_dir, f"{stem}_heatmap.{ext}")
@@ -306,7 +306,7 @@ def run_path_branch(cfg_ns) -> int:
                                     alpha=float(getattr(h, "alpha", 0.4)),
                                     blur=True, overlap=overlap,
                                     use_percentiles=not use_ref_scores,
-                                    cmap=getattr(h, "cmap", "coolwarm"),
+                                    cmap=getattr(h, "cmap", "RdYlBu_r"),
                                     **seg_kwargs)
                 out_f = os.path.join(save_dir, f"{stem}_fine_heatmap.jpg")
                 cv2.imwrite(out_f, cv2.cvtColor(fine, cv2.COLOR_RGB2BGR))

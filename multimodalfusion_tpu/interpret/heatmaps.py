@@ -104,7 +104,12 @@ def draw_heatmap(slide, scores: np.ndarray, coords: np.ndarray,
                  blur: bool = False, overlap: float = 0.0,
                  use_percentiles: bool = True,
                  binarize: bool = False, threshold: float = 0.5,
-                 cmap: str = "coolwarm",
+                 # the colormap the reference ACTUALLY renders: visHeatmap
+                 # ignores a string cmap argument and hardcodes RdYlBu_r
+                 # (ref WholeSlideImage.py:679-689), and its CLI never
+                 # passes one — unlike the reference, an explicit cmap
+                 # here is honored
+                 cmap: str = "RdYlBu_r",
                  segment: bool = False, tissue=None, holes=None,
                  use_holes: bool = True,
                  blank_canvas: bool = False,
