@@ -204,14 +204,19 @@ def draw_heatmap(slide, scores: np.ndarray, coords: np.ndarray,
                           alpha=alpha, blank_canvas=blank_canvas,
                           canvas_color=canvas_color, block_size=block_size)
 
+    # PIL resize with its default (bicubic) filter, exactly like the
+    # reference's Image.resize (WholeSlideImage.py:741-748) — cv2's
+    # INTER_LINEAR differs by ~0.5/255 per pixel (pixel-exactness pinned
+    # by tools/parity_heatmap.py's downsample2 variant)
+    from PIL import Image
     if custom_downsample > 1:
-        img = cv2.resize(img, (w // custom_downsample,
-                               h // custom_downsample))
+        img = np.asarray(Image.fromarray(img).resize(
+            (w // custom_downsample, h // custom_downsample)))
     if max_size is not None and (img.shape[1] > max_size
                                  or img.shape[0] > max_size):
         f = max_size / max(img.shape[1], img.shape[0])
-        img = cv2.resize(img, (int(img.shape[1] * f),
-                               int(img.shape[0] * f)))
+        img = np.asarray(Image.fromarray(img).resize(
+            (int(img.shape[1] * f), int(img.shape[0] * f))))
     return img
 
 

@@ -10,11 +10,15 @@ same slide with the same parameters and the same attention scores:
 
   1. patch COORDS must match exactly (set equality) — same contours,
      same in-contour checks, same grid;
-  2. the rendered heatmaps must agree pixel-for-pixel up to colormap
-     rounding (identical shape, high correlation, small mean |d|).
+  2. the rendered heatmaps must agree pixel-for-pixel across a sweep of
+     visHeatmap configurations (percentiles/raw, blur, binarize, blank
+     canvas, no-segment, custom_downsample, no-blend alpha).
+
+Measured 2026-08-19 (recorded in PARITY.md §4.5): contours 2v2, coords
+set-identical (79), and EVERY sweep variant pixel-identical.
 
 Run:  python tools/parity_heatmap.py [workdir]
-Needs /root/reference mounted.  ~1-2 min, CPU.
+Needs /root/reference mounted.  ~2-3 min, CPU.
 """
 import os
 import sys
@@ -44,12 +48,49 @@ SEG = dict(seg_level=2, sthresh=20, mthresh=7, use_otsu=False,
            close=4, ref_patch_size=256)
 FILTER = {"a_t": 1.0, "a_h": 0.1, "max_n_holes": 8}
 PATCH = dict(patch_level=0, patch_size=256, step_size=256)
+
 # NOTE: the reference IGNORES a string cmap and hardcodes RdYlBu_r
 # (WholeSlideImage.py:679-689 reassigns cmap = plt.get_cmap('RdYlBu_r')
-# whenever isinstance(cmap, str)) — this repo honors the argument, so
-# the comparison pins both to the colormap the reference actually uses
-VIS = dict(vis_level=1, alpha=0.4, blur=False, segment=True,
-           use_holes=True, binarize=False, cmap="RdYlBu_r")
+# whenever isinstance(cmap, str)) — this repo honors the argument (and
+# now defaults to RdYlBu_r), so the sweep pins the colormap the
+# reference actually renders.
+BASE = dict(vis_level=1, alpha=0.4, blur=False, segment=True,
+            use_holes=True, binarize=False, cmap="RdYlBu_r",
+            percentiles=True)
+
+# (name, overrides) — each runs through BOTH implementations
+VARIANTS = [
+    ("base", {}),
+    ("raw_scores", {"percentiles": False}),
+    ("blurred", {"blur": True}),
+    ("binarized", {"binarize": True, "thresh": 0.35}),
+    ("blank_canvas", {"blank_canvas": True}),
+    ("no_segment", {"segment": False, "use_holes": False}),
+    ("downsample2", {"custom_downsample": 2}),
+    ("no_blend", {"alpha": 1.0}),
+]
+
+
+def _split_vis(cfg):
+    """Common dict -> (ref visHeatmap kwargs, our draw_heatmap kwargs)."""
+    ref_kw = dict(vis_level=cfg["vis_level"], alpha=cfg["alpha"],
+                  blur=cfg["blur"], segment=cfg["segment"],
+                  use_holes=cfg["use_holes"], binarize=cfg["binarize"],
+                  cmap=cfg["cmap"],
+                  convert_to_percentiles=cfg["percentiles"],
+                  blank_canvas=cfg.get("blank_canvas", False),
+                  custom_downsample=cfg.get("custom_downsample", 1))
+    if cfg["binarize"]:
+        ref_kw["thresh"] = cfg["thresh"]
+    our_kw = dict(vis_level=cfg["vis_level"], alpha=cfg["alpha"],
+                  blur=cfg["blur"], segment=cfg["segment"],
+                  use_holes=cfg["use_holes"], binarize=cfg["binarize"],
+                  cmap=cfg["cmap"], use_percentiles=cfg["percentiles"],
+                  blank_canvas=cfg.get("blank_canvas", False),
+                  custom_downsample=cfg.get("custom_downsample", 1))
+    if cfg["binarize"]:
+        our_kw["threshold"] = cfg["thresh"]
+    return ref_kw, our_kw
 
 
 def run_reference(slide_path, workdir):
@@ -90,15 +131,26 @@ def run_reference(slide_path, workdir):
             coords = f["coords"][:]
         rng = np.random.default_rng(0)
         scores = rng.uniform(size=len(coords)).astype(np.float64)
-        heat = obj.visHeatmap(scores.copy(), coords.copy(),
-                              patch_size=(PATCH["patch_size"],) * 2,
-                              convert_to_percentiles=True, **VIS)
-        return n_tissue, coords, scores, np.asarray(heat.convert("RGB"))
+        heats = {}
+        for name, over in VARIANTS:
+            cfg = {**BASE, **over}
+            ref_kw, _ = _split_vis(cfg)
+            # the reference divides scores by 100 UNCONDITIONALLY
+            # (WholeSlideImage.py:619): without percentile conversion
+            # its raw-score unit is [0, 100] (what its own
+            # compute_from_patches feeds it); this repo documents raw
+            # scores in [0, 1] — feed each side its own unit
+            s = scores * 100.0 if not cfg["percentiles"] else scores
+            heat = obj.visHeatmap(s.copy(), coords.copy(),
+                                  patch_size=(PATCH["patch_size"],) * 2,
+                                  **ref_kw)
+            heats[name] = np.asarray(heat.convert("RGB"))
+        return n_tissue, coords, scores, heats
     finally:
         os.chdir(cwd)
 
 
-def run_ours(slide_path):
+def run_ours(slide_path, ref_coords=None, ref_scores=None):
     from multimodalfusion_tpu.data import wsi as wsi_mod
     from multimodalfusion_tpu.interpret.heatmaps import draw_heatmap
     slide = wsi_mod.open_slide(slide_path)
@@ -109,21 +161,27 @@ def run_ours(slide_path):
         max_n_holes=FILTER["max_n_holes"],
         ref_patch_size=SEG["ref_patch_size"])
     coords, _ = wsi_mod.process_contours(slide, tissue, holes, **PATCH)
-    rng = np.random.default_rng(0)
-    scores = rng.uniform(size=len(coords)).astype(np.float64)
-    heat = draw_heatmap(slide, scores, coords,
-                        patch_size=PATCH["patch_size"],
-                        use_percentiles=True, tissue=tissue, holes=holes,
-                        **VIS)
-    return len(tissue), coords, scores, np.asarray(heat)
+    heats = {}
+    if ref_coords is not None:
+        # render with the REFERENCE's (coords, scores) pairing so images
+        # are comparable 1:1 (the two pipelines enumerate patches in
+        # different orders)
+        for name, over in VARIANTS:
+            cfg = {**BASE, **over}
+            _, our_kw = _split_vis(cfg)
+            heats[name] = np.asarray(draw_heatmap(
+                slide, ref_scores, ref_coords,
+                patch_size=PATCH["patch_size"], tissue=tissue,
+                holes=holes, **our_kw))
+    return len(tissue), coords, heats
 
 
 def main(workdir) -> int:
     os.makedirs(workdir, exist_ok=True)
     slide_path = build_slide(workdir)
-    ref_nt, ref_coords, ref_scores, ref_heat = run_reference(slide_path,
-                                                             workdir)
-    our_nt, our_coords, our_scores, our_heat = run_ours(slide_path)
+    ref_nt, ref_coords, ref_scores, ref_heats = run_reference(slide_path,
+                                                              workdir)
+    our_nt, our_coords, _ = run_ours(slide_path)
 
     ok = True
     print(f"[contours] ref {ref_nt} ours {our_nt} "
@@ -137,45 +195,28 @@ def main(workdir) -> int:
           f"{'MATCH' if ref_set == our_set else 'MISMATCH'}")
     ok &= ref_set == our_set
 
-    # the two pipelines enumerate patches in different orders; scores
-    # were drawn per-index, so re-order ours to the reference's coords
-    # before comparing images is unnecessary — instead verify the DRAWN
-    # maps agree (coords+scores pairs differ only by permutation when
-    # the coord sets match and both used the same rng over their own
-    # order; to make them identical, re-render ours with the
-    # reference's (coords, scores) pairing)
     if ok:
-        from multimodalfusion_tpu.data import wsi as wsi_mod
-        from multimodalfusion_tpu.interpret.heatmaps import draw_heatmap
-        slide = wsi_mod.open_slide(slide_path)
-        tissue, holes = wsi_mod.segment_tissue(
-            slide, seg_level=SEG["seg_level"], sthresh=SEG["sthresh"],
-            mthresh=SEG["mthresh"], close=SEG["close"],
-            use_otsu=SEG["use_otsu"], a_t=FILTER["a_t"], a_h=FILTER["a_h"],
-            max_n_holes=FILTER["max_n_holes"],
-            ref_patch_size=SEG["ref_patch_size"])
-        our_heat = draw_heatmap(slide, ref_scores, ref_coords,
-                                patch_size=PATCH["patch_size"],
-                                use_percentiles=True, tissue=tissue,
-                                holes=holes, **VIS)
-        same_shape = ref_heat.shape == our_heat.shape
-        print(f"[heatmap] shapes ref {ref_heat.shape} ours "
-              f"{our_heat.shape} {'MATCH' if same_shape else 'MISMATCH'}")
-        ok &= same_shape
-        if same_shape:
-            a = ref_heat.astype(np.float64).ravel()
-            b = our_heat.astype(np.float64).ravel()
-            corr = float(np.corrcoef(a, b)[0, 1])
+        _, _, our_heats = run_ours(slide_path, ref_coords, ref_scores)
+        from PIL import Image
+        for name, _ in VARIANTS:
+            a = ref_heats[name].astype(np.float64)
+            b = our_heats[name].astype(np.float64)
+            if a.shape != b.shape:
+                print(f"[{name}] shape MISMATCH {a.shape} vs {b.shape}")
+                ok = False
+                continue
+            corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
             mad = float(np.mean(np.abs(a - b)))
             frac_exact = float(np.mean(a == b))
-            print(f"[heatmap] corr {corr:.6f} mean|d| {mad:.3f}/255 "
-                  f"exact-px {frac_exact:.4f}")
-            ok &= corr > 0.995 and mad < 3.0
-        from PIL import Image
-        Image.fromarray(ref_heat).save(os.path.join(workdir,
-                                                    "heat_ref.png"))
-        Image.fromarray(our_heat).save(os.path.join(workdir,
-                                                    "heat_ours.png"))
+            good = corr > 0.9999 and mad < 0.05
+            print(f"[{name}] corr {corr:.6f} mean|d| {mad:.4f}/255 "
+                  f"exact-px {frac_exact:.4f} "
+                  f"{'MATCH' if good else 'MISMATCH'}")
+            ok &= good
+            Image.fromarray(ref_heats[name]).save(
+                os.path.join(workdir, f"heat_ref_{name}.png"))
+            Image.fromarray(our_heats[name]).save(
+                os.path.join(workdir, f"heat_ours_{name}.png"))
     print("HEATMAP PARITY:", "MATCH" if ok else "MISMATCH")
     return 0 if ok else 1
 
