@@ -291,7 +291,9 @@ def run_path_branch(cfg_ns) -> int:
 
             fscores, fcoords = compute_fine_scores(
                 slide, *_contours(), embedder, score_fn,
-                patch_size=patch_size, overlap=overlap)
+                patch_size=patch_size, overlap=overlap,
+                use_center_shift=bool(getattr(h, "use_center_shift",
+                                              True)))
             if len(fcoords):
                 # use_ref_scores ranks the fine scores on the COARSE
                 # blockmap distribution (ref compute_from_patches

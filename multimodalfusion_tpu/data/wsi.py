@@ -348,7 +348,8 @@ def _probe_offsets(patch_size: int, mode: str,
 def contour_patch_coords(slide, contour, holes, patch_level: int = 0,
                          patch_size: int = 256, step_size: int = 256,
                          contour_fn: str = "four_pt",
-                         use_padding: bool = True) -> np.ndarray:
+                         use_padding: bool = True,
+                         center_shift: float = 0.5) -> np.ndarray:
     """Grid candidates over the contour's bounding box filtered by the
     in-contour check and hole exclusion.  Level-0 coords, [N, 2].
 
@@ -382,7 +383,8 @@ def contour_patch_coords(slide, contour, holes, patch_level: int = 0,
     # scanline test over all candidate xs at once
     keep = np.ones((len(xs), len(ys)), bool)
     if contour is not None:
-        offs, require_all = _probe_offsets(ref_patch[0], contour_fn)
+        offs, require_all = _probe_offsets(ref_patch[0], contour_fn,
+                                           center_shift)
         comb = np.all if require_all else np.any
         for j, y0 in enumerate(ys):
             rows = []
@@ -411,7 +413,8 @@ def contour_patch_coords(slide, contour, holes, patch_level: int = 0,
 def process_contours(slide, tissue, holes, save_path: Optional[str] = None,
                      patch_level: int = 0, patch_size: int = 256,
                      step_size: int = 256, contour_fn: str = "four_pt",
-                     use_padding: bool = True):
+                     use_padding: bool = True,
+                     center_shift: float = 0.5):
     """All-contour coordinate generation; writes the reference's
     {name}_patches.h5 coords schema + attrs when save_path is given
     (ref WholeSlideImage.py:432-549)."""
@@ -419,7 +422,7 @@ def process_contours(slide, tissue, holes, save_path: Optional[str] = None,
     for cont, hs in zip(tissue, holes):
         coords = contour_patch_coords(slide, cont, hs, patch_level,
                                       patch_size, step_size, contour_fn,
-                                      use_padding)
+                                      use_padding, center_shift)
         if len(coords):
             all_coords.append(coords)
     coords = (np.concatenate(all_coords, axis=0) if all_coords

@@ -272,13 +272,34 @@ def patch_mosaic(patches: np.ndarray, n_cols: int = 5, gap: int = 2,
     return canvas
 
 
+def fine_pass_center_shift(overlap: float,
+                           use_center_shift: bool = True) -> float:
+    """The reference's overlap -> four_pt_hard probe-shift table for the
+    fine heatmap grid (ref wsi_dataset.py:74-88 Wsi_Region; both shipped
+    configs set use_center_shift: true)."""
+    if not use_center_shift:
+        return 0.0
+    if overlap < 0.25:
+        return 0.375
+    if overlap < 0.95:
+        return 0.5
+    return 0.625
+
+
 def compute_fine_scores(slide, tissue, holes, embedder, score_fn,
                         patch_size: int = 256, overlap: float = 0.75,
-                        patch_level: int = 0, chunk: int = 512):
+                        patch_level: int = 0, chunk: int = 512,
+                        use_center_shift: bool = True):
     """Fine heatmap pass: re-grid the tissue at overlapping stride
     (step = patch_size * (1 - overlap)), embed every patch, and score the
     whole overlapping bag with the model's attention
     (ref heatmap_utils.compute_from_patches:111-150 at overlap 0.75).
+
+    The grid uses the reference fine pass's contour check: four_pt_hard
+    with the overlap-dependent probe shift (ref wsi_dataset.py:51-88 —
+    Wsi_Region's default, NOT the coarse pass's four_pt easy check;
+    coord-set equality with the reference as-run is pinned by
+    tools/parity_heatmap.py).
 
     ``score_fn(features [N, D]) -> scores [N]``.
     Returns (scores, coords).
@@ -286,9 +307,11 @@ def compute_fine_scores(slide, tissue, holes, embedder, score_fn,
     from multimodalfusion_tpu.data.wsi import (process_contours,
                                                read_patches)
     step = max(int(patch_size * (1 - overlap)), 1)
-    coords, _ = process_contours(slide, tissue, holes,
-                                 patch_level=patch_level,
-                                 patch_size=patch_size, step_size=step)
+    coords, _ = process_contours(
+        slide, tissue, holes, patch_level=patch_level,
+        patch_size=patch_size, step_size=step,
+        contour_fn="four_pt_hard",
+        center_shift=fine_pass_center_shift(overlap, use_center_shift))
     if len(coords) == 0:
         return np.zeros(0), coords
     from multimodalfusion_tpu.data.loaders import prefetch

@@ -129,6 +129,21 @@ def run_reference(slide_path, workdir):
         import h5py
         with h5py.File(h5, "r") as f:
             coords = f["coords"][:]
+        # fine-pass grid at overlap 0.75 exactly as the reference's CLI
+        # builds it (create_heatmaps.py:375-384 -> Wsi_Region defaults:
+        # four_pt_hard + use_center_shift from config, shipped true)
+        import datasets.wsi_dataset as wsi_dataset_mod
+        # only the coord generation is compared; the torch transform
+        # pipeline (shimmed torchvision) is irrelevant here
+        wsi_dataset_mod.default_transforms = lambda *a, **k: None
+        Wsi_Region = wsi_dataset_mod.Wsi_Region
+        ps = PATCH["patch_size"]
+        step = int(ps * (1 - 0.75))
+        region = Wsi_Region(obj, top_left=None, bot_right=None, level=0,
+                            patch_size=(ps, ps), step_size=(step, step),
+                            custom_downsample=1, use_center_shift=True)
+        fine_coords = np.asarray(region.coords)
+
         rng = np.random.default_rng(0)
         scores = rng.uniform(size=len(coords)).astype(np.float64)
         heats = {}
@@ -145,7 +160,7 @@ def run_reference(slide_path, workdir):
                                   patch_size=(PATCH["patch_size"],) * 2,
                                   **ref_kw)
             heats[name] = np.asarray(heat.convert("RGB"))
-        return n_tissue, coords, scores, heats
+        return n_tissue, coords, scores, heats, fine_coords
     finally:
         os.chdir(cwd)
 
@@ -179,8 +194,8 @@ def run_ours(slide_path, ref_coords=None, ref_scores=None):
 def main(workdir) -> int:
     os.makedirs(workdir, exist_ok=True)
     slide_path = build_slide(workdir)
-    ref_nt, ref_coords, ref_scores, ref_heats = run_reference(slide_path,
-                                                              workdir)
+    (ref_nt, ref_coords, ref_scores, ref_heats,
+     ref_fine) = run_reference(slide_path, workdir)
     our_nt, our_coords, _ = run_ours(slide_path)
 
     ok = True
@@ -194,6 +209,30 @@ def main(workdir) -> int:
           f"common {len(ref_set & our_set)} "
           f"{'MATCH' if ref_set == our_set else 'MISMATCH'}")
     ok &= ref_set == our_set
+
+    # fine (overlap 0.75, four_pt_hard + center-shift table) grid vs
+    # the reference's Wsi_Region
+    from multimodalfusion_tpu.data import wsi as wsi_mod
+    from multimodalfusion_tpu.interpret.heatmaps import \
+        fine_pass_center_shift
+    slide = wsi_mod.open_slide(slide_path)
+    tissue, holes = wsi_mod.segment_tissue(
+        slide, seg_level=SEG["seg_level"], sthresh=SEG["sthresh"],
+        mthresh=SEG["mthresh"], close=SEG["close"],
+        use_otsu=SEG["use_otsu"], a_t=FILTER["a_t"], a_h=FILTER["a_h"],
+        max_n_holes=FILTER["max_n_holes"],
+        ref_patch_size=SEG["ref_patch_size"])
+    ps = PATCH["patch_size"]
+    our_fine, _ = wsi_mod.process_contours(
+        slide, tissue, holes, patch_level=0, patch_size=ps,
+        step_size=int(ps * 0.25), contour_fn="four_pt_hard",
+        center_shift=fine_pass_center_shift(0.75))
+    rf = set(map(tuple, np.asarray(ref_fine, np.int64)))
+    of = set(map(tuple, np.asarray(our_fine, np.int64)))
+    print(f"[fine coords @0.75] ref {len(rf)} ours {len(of)} "
+          f"common {len(rf & of)} "
+          f"{'MATCH' if rf == of else 'MISMATCH'}")
+    ok &= rf == of
 
     if ok:
         _, _, our_heats = run_ours(slide_path, ref_coords, ref_scores)
