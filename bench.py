@@ -291,6 +291,15 @@ def main():
                     "fwd+bwd+opt, steps chained in-graph)",
             "vs_baseline": round(ingraph / ref_style, 2),
             "per_dispatch_bags_per_sec": round(batched, 2),
+            # the ratio's denominator, measured in the SAME session: the
+            # reference architecture (batch 1, unfused pooling) running
+            # on this repo's train-step machinery.  Reported so a swing
+            # in vs_baseline is attributable — shared-code speedups land
+            # in BOTH arms and shrink the ratio without any fused-path
+            # regression (observed r03->r04: the denominator nearly
+            # doubled as the engine improved while the fused arm ALSO
+            # got faster).
+            "ref_style_bags_per_sec": round(ref_style, 2),
         }), file=sys.stderr)
         # the watchdog may have fired on a slow-but-healthy phase (heavy
         # compile, noisy chip): the phase COMPLETED, so drop any note it
