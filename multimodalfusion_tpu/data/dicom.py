@@ -10,11 +10,11 @@ module implements the subset of DICOM needed by that pipeline natively:
     Implicit VR Little Endian (1.2.840.10008.1.2);
   * Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) via zlib;
   * encapsulated (compressed) PixelData: RLE Lossless
-    (1.2.840.10008.1.2.5, native PackBits decoder per PS3.5 Annex G)
-    and the JPEG family PIL can decode — baseline/extended
-    (…1.2.4.50/.51) and JPEG 2000 (…1.2.4.90/.91); JPEG Lossless
-    SV1 (…1.2.4.70) has no decoder in this image and raises a clear
-    error naming the remedy;
+    (1.2.840.10008.1.2.5, native PackBits decoder per PS3.5 Annex G),
+    JPEG Lossless SV1 (…1.2.4.70, native ITU T.81 process-14 Huffman
+    decoder — the most common compressed syntax in clinical CT
+    archives), and the JPEG family PIL can decode — baseline
+    (…1.2.4.50) and JPEG 2000 (…1.2.4.90/.91);
   * defined- and undefined-length sequences are skipped structurally.
 
 ``read_file`` returns a ``DicomSlice`` whose attribute surface matches
@@ -45,8 +45,9 @@ JPEG2000 = "1.2.840.10008.1.2.4.91"
 
 # encapsulated-PixelData syntaxes this reader can decode.  JPEG
 # Extended (.51) is recognized but NOT decodable: its CT payloads are
-# 12-bit JPEG, which PIL cannot parse — it gets the clear error below
-# instead of an opaque PIL failure.
+# 12-bit lossy JPEG, which PIL cannot parse — it gets the clear error
+# below instead of an opaque PIL failure.  JPEG Lossless SV1 (.70) is
+# decoded natively (``_decode_jpeg_lossless``).
 _PIL_SYNTAXES = {JPEG_BASELINE, JPEG2000_LOSSLESS, JPEG2000}
 _ENCAPSULATED = _PIL_SYNTAXES | {RLE_LOSSLESS, JPEG_LOSSLESS_SV1,
                                  JPEG_EXTENDED}
@@ -120,6 +121,262 @@ class DicomSlice:
 # ---------------------------------------------------------------------------
 # encapsulated (compressed) PixelData codecs
 # ---------------------------------------------------------------------------
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with the
+    JPEG byte-stuffing (FF 00 -> FF) already removed."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0          # byte index
+        self._bit = 0          # bits consumed of current byte (0..7)
+
+    def get_bit(self) -> int:
+        b = (self._data[self._pos] >> (7 - self._bit)) & 1
+        self._bit += 1
+        if self._bit == 8:
+            self._bit = 0
+            self._pos += 1
+        return b
+
+    def get_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.get_bit()
+        return v
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> Dict[Tuple[int, int], int]:
+    """Canonical Huffman codes from a DHT segment's BITS/HUFFVAL lists
+    (T.81 Annex C.2): (code length, code) -> symbol."""
+    table: Dict[Tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: Dict[Tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.get_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in lossless-JPEG scan")
+
+
+def _predict(row_above, row_cur, x: int, y: int, psv: int,
+             default: int) -> int:
+    """Sample prediction per T.81 H.1.2: first sample of the scan uses
+    the precision default, the rest of line 1 predicts from Ra, the
+    first column predicts from Rb, interior samples per the selection
+    value (SV1 == Ra, the DICOM-ubiquitous case)."""
+    if y == 0:
+        return default if x == 0 else int(row_cur[x - 1])
+    if x == 0:
+        return int(row_above[0])
+    ra = int(row_cur[x - 1])
+    rb = int(row_above[x])
+    rc = int(row_above[x - 1])
+    if psv == 1:
+        return ra
+    if psv == 2:
+        return rb
+    if psv == 3:
+        return rc
+    if psv == 4:
+        return ra + rb - rc
+    if psv == 5:
+        return ra + ((rb - rc) >> 1)
+    if psv == 6:
+        return rb + ((ra - rc) >> 1)
+    if psv == 7:
+        return (ra + rb) >> 1
+    raise NotImplementedError(f"lossless-JPEG predictor {psv}")
+
+
+def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
+    """Decode a single-component lossless JPEG frame (ITU T.81 process
+    14; SOF3).  DICOM's JPEG Lossless SV1 transfer syntax
+    (1.2.840.10008.1.2.4.70) is this with predictor selection value 1
+    — but any SV 1..7 decodes.  Returns uint16 (rows, cols)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("lossless-JPEG frame missing SOI")
+    pos = 2
+    huff: Dict[int, Dict[Tuple[int, int], int]] = {}
+    precision = lines = samples = None
+    psv = point_transform = None
+    table_id = 0
+    restart_interval = 0
+    entropy: Optional[bytes] = None
+    n = len(blob)
+    while pos + 2 <= n and entropy is None:
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected a JPEG marker at byte {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue                       # fill byte / TEM / stray RST
+        if marker == 0xD9:                 # EOI before any scan
+            break
+        seg_len = struct.unpack(">H", blob[pos:pos + 2])[0]
+        seg = blob[pos + 2:pos + seg_len]
+        pos += seg_len
+        if marker == 0xC4:                 # DHT (may hold several tables)
+            o = 0
+            while o < len(seg):
+                tc_th = seg[o]
+                counts = seg[o + 1:o + 17]
+                total = sum(counts)
+                symbols = seg[o + 17:o + 17 + total]
+                huff[tc_th & 0x0F] = _build_huffman(counts, symbols)
+                o += 17 + total
+        elif marker == 0xC3:               # SOF3: lossless, Huffman
+            precision = seg[0]
+            lines, samples = struct.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise NotImplementedError(
+                    f"lossless JPEG with {seg[5]} components — the CT "
+                    "pipeline consumes monochrome slices only")
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} frame — only lossless "
+                "Huffman (SOF3) is supported in this syntax")
+        elif marker == 0xDD:               # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:               # SOS
+            ns = seg[0]
+            table_id = seg[2] >> 4         # DC/lossless table selector
+            psv = seg[1 + 2 * ns]
+            point_transform = seg[3 + 2 * ns] & 0x0F
+            if ns != 1:
+                raise NotImplementedError(
+                    "multi-component lossless-JPEG scan")
+            if restart_interval:
+                raise NotImplementedError(
+                    "lossless JPEG with restart markers (DRI > 0) — "
+                    "convert the series to RLE/NIfTI (data/nifti.py)")
+            # entropy-coded data runs to the next real marker
+            end = pos
+            while end + 1 < n:
+                if blob[end] == 0xFF and blob[end + 1] not in (0x00,):
+                    break
+                end += 1
+            entropy = blob[pos:end].replace(b"\xff\x00", b"\xff")
+    if entropy is None or precision is None or psv is None:
+        raise ValueError("lossless-JPEG frame missing SOF3/SOS")
+    if (lines, samples) != (rows, cols):
+        raise ValueError(
+            f"lossless-JPEG frame {(lines, samples)} does not match "
+            f"Rows/Columns ({rows}, {cols})")
+    table = huff.get(table_id)
+    if table is None:
+        raise ValueError(f"scan references undefined Huffman table "
+                         f"{table_id}")
+    reader = _BitReader(entropy)
+    default = 1 << (precision - 1 - point_transform)
+    out = np.empty((rows, cols), np.int64)
+    for y in range(rows):
+        row_above = out[y - 1] if y else None
+        row_cur = out[y]
+        for x in range(cols):
+            ssss = _huff_decode(reader, table)
+            if ssss == 0:
+                diff = 0
+            elif ssss == 16:
+                diff = 32768
+            else:
+                v = reader.get_bits(ssss)
+                diff = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+            pred = _predict(row_above, row_cur, x, y, psv, default)
+            # reconstruction is modulo 2**16 regardless of precision
+            # (T.81 H.1.2.1)
+            row_cur[x] = (pred + diff) & 0xFFFF
+    return (out.astype(np.uint16) << point_transform)
+
+
+# SSSS category (number of magnitude bits) for each |diff|; diff of
+# -32768 == 32768 mod 2**16 is the special category 16 with no bits.
+def _jpeg_category(diff: int) -> int:
+    return int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+
+
+def _encode_jpeg_lossless_sv1(pixels: np.ndarray) -> bytes:
+    """Encode one uint16 frame as lossless JPEG, predictor SV1
+    (writer/tests counterpart of ``_decode_jpeg_lossless``)."""
+    pixels = np.ascontiguousarray(pixels, np.uint16)
+    rows, cols = pixels.shape
+    p = pixels.astype(np.int64)
+    # SV1 prediction: left neighbour; first column predicts from the
+    # row above; the very first sample from 2**(P-1)
+    pred = np.empty_like(p)
+    pred[:, 1:] = p[:, :-1]
+    pred[1:, 0] = p[:-1, 0]
+    pred[0, 0] = 1 << 15
+    diffs = ((p - pred) & 0xFFFF).ravel()
+    diffs = np.where(diffs >= 32768, diffs - 65536, diffs)
+    diffs[diffs == -32768] = 32768      # category-16 sentinel
+
+    cats = [_jpeg_category(int(d)) for d in diffs]
+    freq = np.bincount(cats, minlength=17)
+    # fixed canonical table covering categories 0..16: short codes for
+    # the frequent small categories, Kraft sum < 1 so no all-ones code
+    lengths = [2, 2, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 16, 16]
+    order = np.argsort(-freq, kind="stable")       # frequent -> short
+    sym_len = {int(order[i]): lengths[i] for i in range(17)}
+    counts = [0] * 16
+    for L in sym_len.values():
+        counts[L - 1] += 1
+    symbols = sorted(range(17), key=lambda s: (sym_len[s], s))
+    codes: Dict[int, Tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+
+    bits: List[Tuple[int, int]] = []    # (length, value) chunks
+    for d in diffs:
+        d = int(d)
+        ssss = _jpeg_category(d)
+        bits.append(codes[ssss])
+        if 0 < ssss < 16:
+            v = d if d >= 0 else d + (1 << ssss) - 1
+            bits.append((ssss, v & ((1 << ssss) - 1)))
+    out = bytearray()
+    acc, nacc = 0, 0
+    for length, value in bits:
+        acc = (acc << length) | value
+        nacc += length
+        while nacc >= 8:
+            byte = (acc >> (nacc - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)        # byte stuffing
+            nacc -= 8
+    if nacc:
+        byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+
+    dht = bytes([0x00] + counts) + bytes(symbols)
+    sof = struct.pack(">BHHB", 16, rows, cols, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 1, 0, 0x00])   # comp 1/table 0, Ss=1 (SV1)
+    return (b"\xff\xd8"
+            + b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+            + b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            + bytes(out) + b"\xff\xd9")
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """PackBits per PS3.5 G.3.1 (identical to TIFF PackBits)."""
@@ -202,6 +459,10 @@ def _decode_encapsulated(fragments, transfer_syntax: str, rows: int,
                 f"RLE PixelData with {len(fragments)} fragments is "
                 "multi-frame — this reader handles one frame per file")
         arr = _decode_rle_frame(blob, rows, cols, bits)
+    elif transfer_syntax == JPEG_LOSSLESS_SV1:
+        arr = _decode_jpeg_lossless(blob, rows, cols)
+        if bits == 8:
+            arr = arr.astype(np.uint8)
     elif transfer_syntax in _PIL_SYNTAXES:
         import io
 
@@ -225,10 +486,9 @@ def _decode_encapsulated(fragments, transfer_syntax: str, rows: int,
     else:
         raise NotImplementedError(
             f"transfer syntax {transfer_syntax} has no decoder in this "
-            "image (JPEG Lossless needs pydicom+pylibjpeg; JPEG "
-            "Extended carries 12-bit JPEG, which PIL cannot parse) — "
-            "convert the series to RLE/JPEG 2000 or NIfTI "
-            "(data/nifti.py)")
+            "image (JPEG Extended carries 12-bit lossy JPEG, which PIL "
+            "cannot parse) — convert the series to RLE/JPEG Lossless/"
+            "JPEG 2000 or NIfTI (data/nifti.py)")
     if bits == 16:
         arr = arr.astype(np.uint32).astype(np.uint16)
         return arr.view(np.int16).copy() if signed else arr
@@ -468,7 +728,8 @@ def write_ct_slice(path: str, pixels: np.ndarray, z: float,
     """Write a single-frame 16-bit CT slice as a Part-10 DICOM file.
 
     compression: None (uncompressed), 'rle' (RLE Lossless), 'jpeg2000'
-    (lossless, via PIL), or 'deflated' (Deflated Explicit VR LE).
+    (lossless, via PIL), 'jpeg_lossless' (JPEG Lossless SV1, native
+    T.81 process-14 encoder), or 'deflated' (Deflated Explicit VR LE).
     """
     pixels = np.ascontiguousarray(pixels, np.int16)
     rows, cols = pixels.shape
@@ -500,6 +761,12 @@ def write_ct_slice(path: str, pixels: np.ndarray, z: float,
     if compression == "rle":
         ts = RLE_LOSSLESS
         body += _encapsulate(_rle_encode_frame(pixels))
+    elif compression == "jpeg_lossless":
+        ts = JPEG_LOSSLESS_SV1
+        # encode the two's-complement uint16 view; modulo-2**16
+        # reconstruction makes the int16 round-trip exact
+        body += _encapsulate(_encode_jpeg_lossless_sv1(
+            pixels.view(np.uint16)))
     elif compression == "jpeg2000":
         import io
 

@@ -386,25 +386,30 @@ def test_native_dicom_rejects_unknown_syntax(tmp_path):
         dicom.read_file(p)
 
 
-def test_native_dicom_jpeg_lossless_clear_error(tmp_path):
-    """JPEG Lossless SV1 (…1.2.4.70) parses structurally but has no
-    decoder in this image: pixel_array must raise with the remedy."""
+def test_native_dicom_jpeg_extended_clear_error(tmp_path):
+    """JPEG Extended (…1.2.4.51, 12-bit lossy) parses structurally but
+    has no decoder in this image: pixel_array must raise with the
+    remedy.  A frame MISLABELED as JPEG Lossless SV1 (RLE bytes under
+    the .70 syntax) must raise too, not mis-decode."""
     from multimodalfusion_tpu.data import dicom
     vol = _synthetic_ct_volume(n=1)
     p = str(tmp_path / "jll.dcm")
     dicom.write_ct_slice(p, vol[0], z=0.0, compression="rle")
     raw = open(p, "rb").read()
-    # swap the meta group for one claiming JPEG Lossless (same body)
     old_meta = dicom._enc_element(0x0002, 0x0010, "UI",
                                   dicom.RLE_LOSSLESS.encode())
-    new_meta = dicom._enc_element(0x0002, 0x0010, "UI",
-                                  dicom.JPEG_LOSSLESS_SV1.encode())
     assert raw[132:132 + len(old_meta)] == old_meta
-    p2 = str(tmp_path / "jll2.dcm")
-    open(p2, "wb").write(raw[:132] + new_meta + raw[132 + len(old_meta):])
-    s = dicom.read_file(p2)
-    with pytest.raises(NotImplementedError, match="pylibjpeg"):
-        s.pixel_array
+    # swap the meta group for one claiming JPEG Extended (same body)
+    for ts, exc, pat in [
+            (dicom.JPEG_EXTENDED, NotImplementedError, "12-bit"),
+            (dicom.JPEG_LOSSLESS_SV1, ValueError, "SOI")]:
+        new_meta = dicom._enc_element(0x0002, 0x0010, "UI", ts.encode())
+        p2 = str(tmp_path / "swapped.dcm")
+        open(p2, "wb").write(raw[:132] + new_meta
+                             + raw[132 + len(old_meta):])
+        s = dicom.read_file(p2)
+        with pytest.raises(exc, match=pat):
+            s.pixel_array
 
 
 def test_native_dicom_missing_offset_table(tmp_path):
@@ -451,10 +456,66 @@ def test_packbits_roundtrip_fuzz():
         assert _packbits_decode(enc, len(data)) == data
 
 
-@pytest.mark.parametrize("compression", ["rle", "jpeg2000", "deflated"])
+def test_jpeg_lossless_sv1_golden_bitstream():
+    """The native T.81 process-14 decoder reproduces a bitstream built
+    BY HAND from the spec (independent of this repo's encoder): a 2x3
+    16-bit frame, SV1 prediction, a 4-symbol length-2 Huffman table.
+    Guards against symmetric encoder/decoder bugs."""
+    import struct
+
+    from multimodalfusion_tpu.data.dicom import _decode_jpeg_lossless
+
+    # pixels / SV1 diffs: 0, +1, -2 / -2 (from Rb), 0, +4
+    expected = np.array([[32768, 32769, 32767],
+                         [32766, 32766, 32770]], np.uint16)
+    dht = bytes([0x00, 0, 4] + [0] * 14 + [0, 1, 2, 3])
+    sof = struct.pack(">BHHB", 16, 2, 3, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 1, 0, 0x00])
+    # categories 0,1(+1),2(v=01),2(v=01),0,3(v=100) -> 20 bits + pad 1s
+    entropy = bytes([0x1C, 0xC9, 0xCF])
+    blob = (b"\xff\xd8"
+            + b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+            + b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            + entropy + b"\xff\xd9")
+    np.testing.assert_array_equal(_decode_jpeg_lossless(blob, 2, 3),
+                                  expected)
+
+
+def test_jpeg_lossless_predictors_decode():
+    """Streams using every predictor selection value 1..7 decode; SV1
+    equals the encoder's frame, and the others are exercised by
+    rewriting the SOS Ss byte of single-column/row frames whose
+    predictions coincide across SVs."""
+    from multimodalfusion_tpu.data.dicom import (
+        _decode_jpeg_lossless, _encode_jpeg_lossless_sv1)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65536, (5, 1), np.uint16)  # one col: pred==Rb
+    blob = bytearray(_encode_jpeg_lossless_sv1(img))
+    sos_at = bytes(blob).find(b"\xff\xda")
+    ss_at = sos_at + 4 + 1 + 2 * 1          # marker+len+ns+2*ns
+    for psv in range(1, 8):
+        blob[ss_at] = psv
+        np.testing.assert_array_equal(
+            _decode_jpeg_lossless(bytes(blob), 5, 1), img)
+
+
+def test_jpeg_lossless_extreme_diffs_roundtrip():
+    """Category-16 (diff 32768 mod 2**16) and every-sign diffs survive
+    an encode/decode round-trip."""
+    from multimodalfusion_tpu.data.dicom import (
+        _decode_jpeg_lossless, _encode_jpeg_lossless_sv1)
+    img = np.array([[0, 65535, 0, 32768],
+                    [65535, 0, 32767, 32769]], np.uint16)
+    blob = _encode_jpeg_lossless_sv1(img)
+    np.testing.assert_array_equal(_decode_jpeg_lossless(blob, 2, 4), img)
+
+
+@pytest.mark.parametrize("compression",
+                         ["rle", "jpeg2000", "jpeg_lossless", "deflated"])
 def test_native_dicom_compressed_roundtrip(tmp_path, compression):
     """Compressed transfer syntaxes reproduce the int16 pixels exactly
-    (all three are lossless) and flow through load_scan + HU."""
+    (all four are lossless) and flow through load_scan + HU."""
     from multimodalfusion_tpu.data import ct_preprocess as ct
     from multimodalfusion_tpu.data import dicom
     vol = _synthetic_ct_volume(n=4)
