@@ -121,6 +121,10 @@ def build_parser():
 def _load_resnet(args, example_images):
     resnet = ResNet50Trunc()
     if args.weights:
+        if not os.path.isfile(args.weights):
+            print(f"error: --weights {args.weights!r} does not exist",
+                  file=sys.stderr)
+            return resnet, None
         return resnet, load_torch_checkpoint(args.weights)
     if args.allow_random_weights:
         import warnings
@@ -203,11 +207,21 @@ class CamRunner:
     This runner jits ONE program with the modality slot as a traced
     scalar and pads the slice axis to a bucket (mask-excluded from the
     attention softmax), so the whole cohort compiles once per
-    (bucket, aug-variant) pair.  CAM/score equality with the
-    verified-as-run ``_scan_cams`` path is pinned in
+    (bucket, aug-variant) pair.  Buckets ride a power-of-two ladder
+    (like data/bags.py) rather than a fixed multiple: scan lengths of
+    91/120/156/300 land in just 3 buckets (128, 256, 512) instead of
+    compiling one program per distinct 16-multiple.  CAM/score
+    equality with the verified-as-run ``_scan_cams`` path is pinned in
     tests/test_gradcam_cli.py."""
 
-    BUCKET = 16
+    BUCKET_MIN = 16
+
+    @classmethod
+    def bucket_len(cls, n: int) -> int:
+        b = cls.BUCKET_MIN
+        while b < n:
+            b *= 2
+        return b
 
     def __init__(self, resnet, res_vars, amil, amil_vars, n_mod,
                  aug_smooth: bool):
@@ -250,7 +264,7 @@ class CamRunner:
         """(cams [N, h, w], attention scores [N]) for a normalized scan;
         pads N to the bucket internally."""
         N = x_norm.shape[0]
-        n_pad = -N % self.BUCKET
+        n_pad = self.bucket_len(N) - N
         mask = jnp.asarray(
             np.concatenate([np.ones(N, np.float32),
                             np.zeros(n_pad, np.float32)]))
@@ -385,7 +399,18 @@ def run_cohort(args) -> int:
     lung = args.cancer_type == "lung" or args.segment
     aug = not args.no_aug_smooth
 
+    # load/validate --weights BEFORE the subject loop: a bad path must
+    # fail in seconds, not after the first subject's preprocessing.
+    # Only the --allow_random_weights path defers (its init needs a
+    # concrete example batch).
     resnet = res_vars = runner = None
+    if args.weights or not args.allow_random_weights:
+        resnet, res_vars = _load_resnet(args, None)
+        if res_vars is None:
+            return 2
+        amil, amil_vars = _load_amil(args, settings, ckpt_mods)
+        runner = CamRunner(resnet, res_vars, amil, amil_vars,
+                           len(ckpt_mods), aug)
     out_name = "ig_heatmap_all" if args.all_slices else "ig_heatmap"
     n_done = 0
     for _, row in cohort.iterrows():

@@ -204,6 +204,14 @@ def test_gradcam_cohort_mode(tmp_path):
     assert max(t1.max(), t2.max()) == pytest.approx(1.0, abs=1e-5)
     assert (sub / "heatmap.pkl").exists()
 
+    # ---- a bad --weights path fails up front (rc 2) BEFORE any
+    # subject preprocessing: the fresh save_dir stays subject-free
+    rc = gc_main(common + ["--save_dir", str(b / "coh_bad"),
+                           "--weights", str(b / "missing.pt"),
+                           "--top", "2"])
+    assert rc == 2
+    assert list((b / "coh_bad").iterdir()) == []
+
 
 def test_cam_runner_matches_scan_cams():
     """The compile-once cohort CamRunner (slot traced, slices padded to
@@ -273,3 +281,41 @@ def test_cam_runner_compiles_once_per_bucket():
         assert cams.shape[0] == scores.shape[0] == n
     assert runner._cam._cache_size() == 1
     assert runner._scores._cache_size() == 1
+
+
+def test_cam_runner_bucket_ladder():
+    """Realistic CT scan lengths (91/120/156/300 slices) must land in
+    the power-of-two ladder's buckets — at most 3 compiled programs,
+    not one per distinct 16-multiple."""
+    import jax
+    import jax.numpy as jnp
+    from multimodalfusion_tpu.cli.gradcam import CamRunner
+    from multimodalfusion_tpu.engine.train import TrainConfig, build_model
+    from multimodalfusion_tpu.models.resnet import ResNet50Trunc
+
+    assert [CamRunner.bucket_len(n) for n in (1, 16, 17, 91, 120, 156,
+                                              300)] == \
+        [16, 16, 32, 128, 128, 256, 512]
+
+    rng = np.random.default_rng(2)
+    resnet = ResNet50Trunc()
+    x0 = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    res_vars = resnet.init(jax.random.PRNGKey(0), x0)
+    cfg = TrainConfig(model_type="radio_attention_mil", mode="radio",
+                      modalities=("T1", "T2"), n_classes=4,
+                      bag_loss="nll_surv", radio_fusion="concat",
+                      batch_size=1, seed=0)
+    amil = build_model(cfg)
+    amil_vars = dict(amil.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        bags=jnp.zeros((1, 16, 2048), jnp.float32),
+        mask=jnp.ones((1, 16), jnp.float32), deterministic=True))
+    runner = CamRunner(resnet, res_vars, amil, amil_vars, 2,
+                       aug_smooth=False)
+    # 33 and 60 share the 64-bucket; 91 and 120 the 128-bucket
+    for n in (33, 60, 91, 120, 156):
+        x = jnp.asarray(rng.normal(size=(n, 32, 32, 3)).astype(np.float32))
+        cams, scores = runner(x, 0)
+        assert cams.shape[0] == scores.shape[0] == n
+    assert runner._cam._cache_size() == 3     # buckets 64, 128, 256
+    assert runner._scores._cache_size() == 3
