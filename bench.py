@@ -162,6 +162,51 @@ def bench_batched_ingraph(setup, iters=100):
     return best
 
 
+def bench_batched_ingraph_dropout(setup, iters=100):
+    """The canonical-recipe rate: every published reference training
+    command passes --drop_out (ref commands/commands.sh:7,12,19), so
+    the number of record must include the fused in-kernel-dropout
+    train step, not only the no-dropout path.  Same in-graph
+    methodology as bench_batched_ingraph; fresh model/opt because
+    drop_out changes the program."""
+    (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
+     jbatch, B, N, D) = setup
+    from multimodalfusion_tpu.engine.train import (TrainConfig, build_model,
+                                                   make_optimizer,
+                                                   make_steps)
+    cfg_d = TrainConfig(model_type="path_attention_mil", mode="path",
+                        bag_loss="nll_surv", gate_path=True, batch_size=B,
+                        bag_dtype="bfloat16", drop_out=True)
+    model_d = build_model(cfg_d)
+    tx_d = make_optimizer(cfg_d)
+    train_step_d, _ = make_steps(cfg_d, model_d, tx_d)
+    key = jax.random.PRNGKey(3)
+    variables_d = dict(model_d.init({"params": key, "dropout": key},
+                                    bags=jbatch["path_bags"],
+                                    mask=jbatch["path_mask"],
+                                    deterministic=True))
+    opt_state_d = tx_d.init(variables_d["params"])
+
+    @jax.jit
+    def chained(v, o, batch):
+        def body(i, carry):
+            vv, oo = carry
+            vv, oo, _ = train_step_d(vv, oo, batch,
+                                     jax.random.fold_in(key, i))
+            return (vv, oo)
+        return jax.lax.fori_loop(0, iters, body, (v, o))
+
+    v, o = chained(variables_d, opt_state_d, jbatch)
+    _sync(jax, v)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        v, o = chained(v, o, jbatch)
+        _sync(jax, v)
+        best = max(best, B * iters / (time.perf_counter() - t0))
+    return best
+
+
 def bench_reference_style(setup, iters=100):
     """Reference architecture on the same chip: batch_size=1, unfused
     softmax pooling, per-bag jit step (the torch pipeline's shape)."""
@@ -283,6 +328,7 @@ def main():
         setup = _setup()
         batched = bench_batched(setup)
         ingraph = bench_batched_ingraph(setup)
+        dropout = bench_batched_ingraph_dropout(setup)
         ref_style = bench_reference_style(setup)
         print(json.dumps({
             "metric": "amil_train_bags_per_sec",
@@ -291,6 +337,10 @@ def main():
                     "fwd+bwd+opt, steps chained in-graph)",
             "vs_baseline": round(ingraph / ref_style, 2),
             "per_dispatch_bags_per_sec": round(batched, 2),
+            # the canonical-recipe rate: the same in-graph step WITH
+            # --drop_out (fused in-kernel dropout), the configuration
+            # every published reference command trains with
+            "dropout_bags_per_sec": round(dropout, 2),
             # the ratio's denominator, measured in the SAME session: the
             # reference architecture (batch 1, unfused pooling) running
             # on this repo's train-step machinery.  Reported so a swing
