@@ -440,61 +440,76 @@ def run_radio_branch(cfg_ns) -> int:
     # (ref create_heatmaps.py:604-659, heatmap_utils.radio_img :177-226)
     scan_csv = getattr(d, "scan_list", None)
     if scan_csv:
-        from multimodalfusion_tpu.data.radiology import (
-            preprocess_glioma_scan, preprocess_lung_scan)
         scans = pd.read_csv(scan_csv).set_index("subject_id")
-        display_mod = getattr(d, "display_modality", modalities[0])
-        # lung CT re-preprocessing for display mirrors the feature path
-        # (ref heatmap_utils.radio_img :177-226: MRI flip-to-standard vs
-        # CT HU->resample->lungmask->crop->normalize)
-        is_ct = (getattr(d, "cancer_type", "glioma") == "lung"
-                 or display_mod == "CT")
-        for subject, grp in scores_df.groupby("subject_id"):
-            if subject not in scans.index or \
-                    display_mod not in scans.columns:
-                continue
-            path = os.path.join(getattr(d, "scan_dir", "."),
-                                str(scans.loc[subject, display_mod]))
-            # cheap pre-check: the display modality's feature h5 carries
-            # the slice-id map the preprocessed volume will reproduce —
-            # skip the (expensive) full-volume re-preprocess when none
-            # of the selected top/low slices can be rendered from it
-            sel_ids = set(int(s) for s in
-                          grp[grp.group.isin(("top", "low"))].slice_index)
-            try:
-                _, disp_ids = load_features_h5(os.path.join(
-                    d.feat_dir, "radio_h5_files", display_mod,
-                    f"{subject}.h5"))
-                if disp_ids is not None and not sel_ids & set(
-                        int(s) for s in np.asarray(disp_ids).reshape(-1)):
-                    print(f"skipping {subject}: no selected slice exists "
-                          f"in {display_mod}")
-                    continue
-            except (OSError, KeyError, TypeError, ValueError):
-                pass  # no usable h5 to pre-check; preprocess and see
-            try:
-                if is_ct:
-                    slices, slice_ids = preprocess_lung_scan(path)
-                else:
-                    slices, slice_ids = preprocess_glioma_scan(path)
-            except (OSError, ValueError) as e:
-                print(f"cannot render {subject}: {e}")
-                continue
-            id_to_slice = {int(s): i for i, s in enumerate(slice_ids)}
-            for group_name in ("top", "low"):
-                out_dir = ensure_dir(os.path.join(save_dir, subject,
-                                                  group_name))
-                sel = grp[grp.group == group_name]
-                for _, r in sel.iterrows():
-                    i = id_to_slice.get(int(r.slice_index))
-                    if i is None:
-                        continue
-                    img = (np.clip(slices[i], 0, 1) * 255).astype(np.uint8)
-                    cv2.imwrite(os.path.join(
-                        out_dir,
-                        f"slice{int(r.slice_index)}_"
-                        f"a{r.attention:.3f}.png"), img)
+        # a single modality (str) keeps the flat subject/{top,low}
+        # layout; a list renders every named modality under
+        # subject/{mod}/{top,low} (the reference renders ALL modalities,
+        # ref create_heatmaps.py:636-659)
+        display_cfg = getattr(d, "display_modality", modalities[0])
+        display_mods = ([display_cfg] if isinstance(display_cfg, str)
+                        else list(display_cfg))
+        nest_by_mod = not isinstance(display_cfg, str)
+        for display_mod in display_mods:
+            _render_radio_slices(d, scores_df, scans, display_mod,
+                                 save_dir, nest_by_mod)
     return 0
+
+
+def _render_radio_slices(d, scores_df, scans, display_mod, save_dir,
+                         nest_by_mod):
+    from multimodalfusion_tpu.data.radiology import (
+        preprocess_glioma_scan, preprocess_lung_scan)
+    # lung CT re-preprocessing for display mirrors the feature path
+    # (ref heatmap_utils.radio_img :177-226: MRI flip-to-standard vs
+    # CT HU->resample->lungmask->crop->normalize)
+    is_ct = (getattr(d, "cancer_type", "glioma") == "lung"
+             or display_mod == "CT")
+    for subject, grp in scores_df.groupby("subject_id"):
+        if subject not in scans.index or \
+                display_mod not in scans.columns:
+            continue
+        path = os.path.join(getattr(d, "scan_dir", "."),
+                            str(scans.loc[subject, display_mod]))
+        # cheap pre-check: the display modality's feature h5 carries
+        # the slice-id map the preprocessed volume will reproduce —
+        # skip the (expensive) full-volume re-preprocess when none
+        # of the selected top/low slices can be rendered from it
+        sel_ids = set(int(s) for s in
+                      grp[grp.group.isin(("top", "low"))].slice_index)
+        try:
+            _, disp_ids = load_features_h5(os.path.join(
+                d.feat_dir, "radio_h5_files", display_mod,
+                f"{subject}.h5"))
+            if disp_ids is not None and not sel_ids & set(
+                    int(s) for s in np.asarray(disp_ids).reshape(-1)):
+                print(f"skipping {subject}: no selected slice exists "
+                      f"in {display_mod}")
+                continue
+        except (OSError, KeyError, TypeError, ValueError):
+            pass  # no usable h5 to pre-check; preprocess and see
+        try:
+            if is_ct:
+                slices, slice_ids = preprocess_lung_scan(path)
+            else:
+                slices, slice_ids = preprocess_glioma_scan(path)
+        except (OSError, ValueError) as e:
+            print(f"cannot render {subject}: {e}")
+            continue
+        id_to_slice = {int(s): i for i, s in enumerate(slice_ids)}
+        for group_name in ("top", "low"):
+            parts = ([subject, display_mod, group_name] if nest_by_mod
+                     else [subject, group_name])
+            out_dir = ensure_dir(os.path.join(save_dir, *parts))
+            sel = grp[grp.group == group_name]
+            for _, r in sel.iterrows():
+                i = id_to_slice.get(int(r.slice_index))
+                if i is None:
+                    continue
+                img = (np.clip(slices[i], 0, 1) * 255).astype(np.uint8)
+                cv2.imwrite(os.path.join(
+                    out_dir,
+                    f"slice{int(r.slice_index)}_"
+                    f"a{r.attention:.3f}.png"), img)
 
 
 def run_omic_branch(cfg_ns) -> int:

@@ -335,6 +335,48 @@ def test_heatmap_radio_branch_lung_display(trained, tmp_path):
     assert len(pngs) >= 1
 
 
+def test_heatmap_radio_branch_all_modalities(trained, tmp_path):
+    """A LIST-valued display_modality renders every named modality under
+    subject/{mod}/{top,low} — the reference renders ALL modalities
+    (ref create_heatmaps.py:636-659 loops img_arrs.items())."""
+    from multimodalfusion_tpu.data.nifti import write_nifti
+    b, df = trained
+    exp = next((b / "s2r" / "brain" / "2foldcv").iterdir())
+    subject = df["subject_id"].iloc[0]
+    plist = tmp_path / "subjects.csv"
+    pd.DataFrame({"subject_id": [subject]}).to_csv(plist, index=False)
+    scan_dir = tmp_path / "scans"
+    os.makedirs(scan_dir)
+    rng = np.random.default_rng(3)
+    row = {"subject_id": subject}
+    for m in ("T1", "FLAIR"):
+        vol = rng.uniform(1, 90, size=(25, 24, 24)).astype(np.float32)
+        write_nifti(str(scan_dir / f"{m}.nii.gz"), vol,
+                    origin_lps=(0.0, -239.0, 0.0))
+        row[m] = f"{m}.nii.gz"
+    scan_list = tmp_path / "scan_list.csv"
+    pd.DataFrame([row]).to_csv(scan_list, index=False)
+    config = {
+        "exp_arguments": {"branch": "radio",
+                          "save_dir": str(tmp_path / "hm_all")},
+        "data_arguments": {"process_list": str(plist),
+                           "feat_dir": str(b / "features" / "brain"),
+                           "modalities": ["T1", "T2", "T1Gd", "FLAIR"],
+                           "scan_list": str(scan_list),
+                           "scan_dir": str(scan_dir),
+                           "display_modality": ["T1", "FLAIR"]},
+        "model_arguments": {"ckpt_path": str(exp), "which_k": 0},
+    }
+    cfg_path = tmp_path / "all.yaml"
+    cfg_path.write_text(yaml.safe_dump(config))
+    rc = hm_main(["--config", str(cfg_path)])
+    assert rc == 0
+    for m in ("T1", "FLAIR"):
+        pngs = list((tmp_path / "hm_all" / subject / m / "top")
+                    .glob("*.png"))
+        assert len(pngs) >= 1, m
+
+
 def test_heatmap_omic_branch_expected_gradients(trained, tmp_path):
     """method: expected_gradients runs the SHAP GradientExplainer
     semantics with the train rows as background (ref

@@ -58,6 +58,14 @@ class LayerConductance:
             "LayerConductance is not part of the shim")
 
 
+class GradientShap:
+    """Imported by ref create_heatmaps.py:31 but only the omic branch
+    constructs it (the radio parity path never does)."""
+
+    def __init__(self, *a, **k):
+        raise NotImplementedError("GradientShap is not part of the shim")
+
+
 class NoiseTunnel:
     """Imported by ref utils_ig.py:15 but unused on the parity paths."""
 

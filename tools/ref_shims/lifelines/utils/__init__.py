@@ -9,3 +9,7 @@ def concordance_index(event_times, predicted_scores, event_observed=None):
     return concordance_index_censored(
         np.asarray(event_observed, bool), np.asarray(event_times, float),
         -np.asarray(predicted_scores, float))[0]
+
+
+def k_fold_cross_validation(*a, **k):
+    raise NotImplementedError("k_fold_cross_validation stub (parity shims)")

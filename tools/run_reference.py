@@ -29,6 +29,13 @@ import numpy as np
 # them breaks numpy.ma internals)
 np.Inf = np.inf
 
+# scipy >= 1.10 removed the `scipy.interp` re-export the reference's
+# utils_analysis/evaluation.py:32 imports (it was always np.interp)
+import scipy  # noqa: E402
+
+if not hasattr(scipy, "interp"):
+    scipy.interp = np.interp
+
 import runpy  # noqa: E402
 
 script = sys.argv[1]
