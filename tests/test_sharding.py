@@ -352,6 +352,50 @@ def test_bag_sharded_pool_dropout_pallas_interpret(rng, monkeypatch):
                                rtol=1e-3, atol=1e-6)
 
 
+def test_bag_sharded_pool_interpret_30k_instances(rng, monkeypatch):
+    """The fused-kernel (TPU) branch of the sharded pool at the
+    30k-instance regime bag sharding exists for: multi-slide concat
+    bags reach ~30k patches (ref dataset_survival.py:362-367, SURVEY
+    §7 risk).  N=32,768 over the 8-device mesh (4,096 instances per
+    shard) at the flagship pool width (D=512 fc output, Da=256)
+    exercises the VMEM byte-budget tile heuristics at the scale they
+    were written for — small-N tests can't reach their large-N tile
+    choices."""
+    import functools as ft
+    real_fwd = mil._fused_pool_pallas
+    real_bwd = mil._fused_pool_bwd_pallas
+    monkeypatch.setattr(mil, "_use_pallas", lambda: True)
+    monkeypatch.setattr(mil, "_fused_pool_pallas",
+                        ft.partial(real_fwd, interpret=True))
+    monkeypatch.setattr(mil, "_fused_pool_bwd_pallas",
+                        ft.partial(real_bwd, interpret=True))
+
+    B, N, D, Da = 2, 32768, 512, 256
+    h = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+    lens = np.array([29873, 32768])  # ragged: one bag crosses shards
+    mask = jnp.array((np.arange(N)[None, :] < lens[:, None])
+                     .astype(np.float32))
+    params = make_attn(rng, D=D, Da=Da)
+    da = jnp.array((rng.uniform(size=(B, N, Da)) > 0.25).astype(np.uint8))
+    db = jnp.array((rng.uniform(size=(B, N, Da)) > 0.25).astype(np.uint8))
+    mesh = Mesh(np.array(jax.devices()), ("bag",))
+    h_s = jax.device_put(h, NamedSharding(mesh, P(None, "bag", None)))
+    mask_s = jax.device_put(mask, NamedSharding(mesh, P(None, "bag")))
+
+    for kw in ({}, {"da": da, "db": db}):
+        out = sharded_attention_pool(h_s, mask_s, params, True, mesh, **kw)
+        ref = (mil._pool_reference_dropout(h, mask, da, db, params, True)
+               if kw else mil._pool_reference(h, mask, params, True))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-5, atol=5e-5)
+    g = jax.grad(lambda hh: jnp.sum(sharded_attention_pool(
+        hh, mask_s, params, True, mesh, da=da, db=db) ** 2))(h_s)
+    g_ref = jax.grad(lambda hh: jnp.sum(mil._pool_reference_dropout(
+        hh, mask, da, db, params, True) ** 2))(h)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_dp_bag_2d_mesh_pool_matches_reference(rng):
     """DP x SP composition on a ("data", "bag") 2x4 mesh: pooling and
     gradients equal the unsharded computation."""

@@ -23,7 +23,11 @@ that floor.  Exact f32 equivalence is covered by the CPU interpret
 tests under jax_default_matmul_precision=highest.
 
 Run on the TPU host:  python tools/tpu_kernel_selftest.py
-(~1 min; needs the chip — refuses to "pass" on CPU.)
+(~1 min; needs the chip — refuses to "pass" on CPU.)  Groups can run
+separately (`--only kernels|sharded|bigbag`); results merge into the
+same JSON.  The `bigbag` group proves the N=32,768 multi-slide-concat
+regime (SURVEY §7): a full fused --drop_out train step plus pool
+oracle checks at that N, compiled on the chip.
 """
 import json
 import os
@@ -161,11 +165,98 @@ def sharded_pool_case(rng):
     return errs
 
 
+def bigbag_case(rng):
+    """The 30k-instance regime (SURVEY §7 risk: multi-slide concat bags
+    reach ~30k patches, ref dataset_survival.py:362-367): one full
+    fused TRAIN STEP — path AMIL, --drop_out, bf16 bags — compiled and
+    executed on the chip at B=2 x N=32,768, plus fused-vs-oracle pool
+    checks at that N so the VMEM byte-budget tile heuristics are
+    validated compiled at the scale they were written for."""
+    import time
+
+    from multimodalfusion_tpu.engine.train import (TrainConfig,
+                                                   build_model,
+                                                   make_optimizer,
+                                                   make_steps)
+    errs = {}
+    # pool-level oracle at the flagship pool width (fc output D=512)
+    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+        h, mask, params = make_case(rng, 2, 32768, 512, 256, dtype)
+        fused = mil._fused_pool_pallas(h, mask, params, True)[0]
+        ref = mil._pool_reference(h, mask, params, True)
+        errs[f"pool_fwd_{tag}"] = rel_err(fused, ref)
+    h, mask, params = make_case(rng, 2, 32768, 512, 256, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 512)), jnp.float32)
+    out, ml = mil._fused_pool_pallas(h, mask, params, True)
+    dh, dp = mil._fused_pool_bwd_pallas(h, mask, params, out, ml, g, True)
+    dh_ref, dp_ref = jax.grad(
+        lambda hh, pp: jnp.sum(mil._pool_reference(hh, mask, pp, True)
+                               * g),
+        argnums=(0, 1))(h, params)
+    errs["pool_bwd_dh"] = rel_err(dh, dh_ref)
+    errs["pool_bwd_dWa"] = rel_err(dp.Wa, dp_ref.Wa)
+
+    # full fused train step (model + loss + grads + Adam) at N=32,768
+    B, N, D = 2, 32768, 1024
+    cfg = TrainConfig(model_type="path_attention_mil", mode="path",
+                      bag_loss="nll_surv", gate_path=True, batch_size=B,
+                      bag_dtype="bfloat16", drop_out=True)
+    model = build_model(cfg)
+    tx = make_optimizer(cfg)
+    train_step, _ = make_steps(cfg, model, tx)
+    kb, km = jax.random.split(jax.random.PRNGKey(0))
+    batch = {
+        "path_bags": jax.random.normal(kb, (B, N, D), jnp.float32),
+        "path_mask": (jax.random.uniform(km, (B, N)) < 0.93).astype(
+            jnp.float32),
+        "Y": jnp.asarray(rng.integers(0, 4, size=B), jnp.int32),
+        "t": jnp.asarray(rng.uniform(1, 100, size=B), jnp.float32),
+        "c": jnp.asarray(rng.integers(0, 2, size=B), jnp.float32),
+        "valid": jnp.ones(B, jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = dict(model.init({"params": key, "dropout": key},
+                                bags=batch["path_bags"],
+                                mask=batch["path_mask"],
+                                deterministic=True))
+    opt_state = tx.init(variables["params"])
+    v, o, out1 = train_step(variables, opt_state, batch, key)
+    loss1 = float(out1["loss"])
+
+    iters = 8
+
+    @jax.jit
+    def chained(vv, oo, bb):
+        def body(i, carry):
+            cv, co = carry
+            cv, co, _ = train_step(cv, co, bb, jax.random.fold_in(key, i))
+            return (cv, co)
+        return jax.lax.fori_loop(0, iters, body, (vv, oo))
+
+    v, o = chained(v, o, batch)
+    float(jnp.sum(jax.tree.leaves(v)[0]))  # sync (relay: readback)
+    t0 = time.perf_counter()
+    v, o = chained(v, o, batch)
+    float(jnp.sum(jax.tree.leaves(v)[0]))
+    dt = time.perf_counter() - t0
+    errs["train_loss_finite"] = float(np.isfinite(loss1))
+    errs["train_instances_per_s"] = B * N * iters / dt
+    errs["train_bags_per_s"] = B * iters / dt
+    return errs, loss1
+
+
+def _group_of(name: str) -> str:
+    if "sharded_pool" in name:
+        return "sharded"
+    if "bigbag" in name:
+        return "bigbag"
+    return "kernels"
+
+
 def _belongs_to(name: str, only: str) -> bool:
     """Whether a case key / failure line belongs to the group being
     re-run (so merging replaces it instead of duplicating)."""
-    is_sharded = "sharded_pool" in name
-    return is_sharded == (only == "sharded")
+    return _group_of(name) == only
 
 
 def main() -> int:
@@ -225,6 +316,22 @@ def main() -> int:
                         if v > tol:
                             report["failures"].append(
                                 f"{key}: bwd {k} {v}")
+    if only in (None, "bigbag"):
+        bb, loss1 = bigbag_case(rng)
+        print(f"[bigbag_n32768] {bb} loss {loss1}", file=sys.stderr,
+              flush=True)
+        report["cases"]["bigbag_n32768"] = {
+            "B": 2, "N": 32768, "drop_out": True,
+            "bag_dtype": "bfloat16", "rel": bb, "first_loss": loss1,
+            "tol_f32": 1e-2, "tol_bf16": 2e-2}
+        for k, v in bb.items():
+            if k.startswith("pool_"):
+                tol = 2e-2 if k.endswith("bf16") else 1e-2
+                if v > tol:
+                    report["failures"].append(f"bigbag_n32768 {k} {v}")
+        if not bb["train_loss_finite"]:
+            report["failures"].append(
+                f"bigbag_n32768: non-finite train loss {loss1}")
     if only in (None, "sharded"):
         sh = sharded_pool_case(rng)
         print(f"[sharded_pool] {sh}", file=sys.stderr, flush=True)
