@@ -58,14 +58,14 @@ def main(base, allow_cpu=False):
         return 2
     report = {"device": str(jax.devices()[0]),
               "backend": jax.default_backend(),
-              "n_subjects": 16, "max_epochs": 3, "stages": {}}
+              "n_subjects": 24, "max_epochs": 5, "stages": {}}
 
     from fixtures import make_cohort_csv, make_feature_store, make_splits
     from multimodalfusion_tpu.cli.main import main as s2_main
 
     t0 = time.perf_counter()
     csv_path, df, latent = make_cohort_csv(
-        os.path.join(base, "dataset_csv", "brain"), n=16, seed=5)
+        os.path.join(base, "dataset_csv", "brain"), n=24, seed=5)
     make_feature_store(os.path.join(base, "features", "brain"), df,
                        latent, seed=5, bag_range=(8, 24))
     make_splits(os.path.join(base, "splits", "brain", "2foldcv"), df,
@@ -79,20 +79,20 @@ def main(base, allow_cpu=False):
                         "--bag_loss", "nll_surv", "--fusion", "tensor",
                         "--radio_fusion", "concat", "--gate_path",
                         "--gate_radio", "--gate_omic", "--drop_out",
-                        "--batch_size", "4", "--max_epochs", "3",
+                        "--batch_size", "4", "--max_epochs", "5",
                         "--lr", "1e-3"],
         "path": ["--model_type", "path_attention_mil", "--mode", "path",
                  "--bag_loss", "nll_surv", "--gate_path", "--drop_out",
-                 "--batch_size", "4", "--max_epochs", "3",
+                 "--batch_size", "4", "--max_epochs", "5",
                  "--lr", "1e-3"],
         "radio": ["--model_type", "radio_attention_mil", "--mode",
                   "radio", "--radio_fusion", "concat", "--gate_radio",
                   "--drop_out", "--bag_loss", "nll_surv",
-                  "--batch_size", "4", "--max_epochs", "3",
+                  "--batch_size", "4", "--max_epochs", "5",
                   "--lr", "1e-3"],
         "omic": ["--model_type", "max_net", "--mode", "omic",
                  "--bag_loss", "cox_surv", "--batch_size", "8",
-                 "--max_epochs", "3", "--lr", "1e-3"],
+                 "--max_epochs", "5", "--lr", "1e-3"],
     }
     import pandas as pd
     exps = {}
@@ -124,7 +124,7 @@ def main(base, allow_cpu=False):
                        "--output_dir", os.path.join(base, "embed"),
                        "--which_k", "0"]) == 0
             sub = os.path.join(base, "embed", "brain", f"{arm}_pt_files")
-            assert len(os.listdir(sub)) == 16, arm
+            assert len(os.listdir(sub)) == 24, arm
     finally:
         os.chdir(cwd)
     report["stages"]["stage3_wall_s"] = round(time.perf_counter() - t0, 2)
@@ -138,7 +138,7 @@ def main(base, allow_cpu=False):
     assert s4(_common(base, [
         "--mode", "radio_path_omic", "--model_type", "mm_attention_mil",
         "--train_type", "early-fcnn", "--bag_loss", "nll_surv",
-        "--batch_size", "4", "--max_epochs", "3", "--lr", "1e-3",
+        "--batch_size", "4", "--max_epochs", "5", "--lr", "1e-3",
         "--data_root_dir", os.path.join(base, "embed"),
         "--results_dir", os.path.join(base, "s4")])) == 0
     root4 = os.path.join(base, "s4", "brain", "2foldcv")
