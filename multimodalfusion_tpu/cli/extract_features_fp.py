@@ -48,6 +48,12 @@ def build_parser():
                    help="run the canonical 7x7/s2 stem conv "
                         "instead of the (fp-equal, faster) "
                         "space-to-depth form")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="conv compute dtype: bfloat16 (the TPU-native "
+                        "default, ~5e-3 rel feature deviation) or "
+                        "float32 for exact reference parity "
+                        "(tools/parity_extraction_radio.py)")
     return p
 
 
@@ -99,12 +105,14 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     pt_dir = ensure_dir(os.path.join(args.feat_dir, "path_pt_files"))
     h5_dir = ensure_dir(os.path.join(args.feat_dir, "h5_files"))
+    import jax.numpy as jnp
     embedder = Embedder(weights_path=args.weights,
                         mesh=_maybe_mesh(args.data_parallel),
                         batch_size=args.batch_size,
                         image_size=args.target_patch_size,
                         allow_random=args.allow_random_weights,
-                        s2d_stem=not args.no_s2d_stem)
+                        s2d_stem=not args.no_s2d_stem,
+                        dtype=jnp.dtype(args.dtype))
 
     patches_dir = os.path.join(args.data_h5_dir, "patches")
     if args.csv_path:

@@ -54,6 +54,12 @@ def build_parser():
                    help="run the canonical 7x7/s2 stem conv "
                         "instead of the (fp-equal, faster) "
                         "space-to-depth form")
+    p.add_argument("--dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="conv compute dtype: bfloat16 (the TPU-native "
+                        "default, ~5e-3 rel feature deviation) or "
+                        "float32 for exact reference parity "
+                        "(tools/parity_extraction_radio.py)")
     return p
 
 
@@ -142,11 +148,13 @@ def _preprocessed(jobs):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     df = pd.read_csv(args.csv_path)
+    import jax.numpy as jnp
     embedder = Embedder(weights_path=args.weights,
                         batch_size=args.batch_size,
                         mesh=_maybe_mesh(args.data_parallel),
                         allow_random=args.allow_random_weights,
-                        s2d_stem=not args.no_s2d_stem)
+                        s2d_stem=not args.no_s2d_stem,
+                        dtype=jnp.dtype(args.dtype))
     out_root = ensure_dir(os.path.join(args.output_dir, args.cancer_type))
     not_processed = []
 
