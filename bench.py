@@ -71,7 +71,7 @@ def _setup():
     model = build_model(cfg)
     tx = make_optimizer(cfg)
     train_step, _ = make_steps(cfg, model, tx)
-    # bags are generated ON DEVICE: pushing 512 MB through the ~12 MB/s
+    # bags are generated ON DEVICE: pushing 512 MB through the ~50 MB/s
     # relay would dominate bench wall-clock (real hosts stage via PCIe)
     import jax.random as jrandom
     kb, km = jrandom.split(jrandom.PRNGKey(0))
@@ -97,7 +97,7 @@ def _setup():
 def _sync(jax, tree):
     """True device sync: through the axon tunnel block_until_ready is a
     no-op, so force a host readback — of a REDUCED SCALAR, because
-    np.asarray(leaf) would pull the whole leaf through the ~12 MB/s
+    np.asarray(leaf) would pull the whole leaf through the ~50 MB/s
     relay (~tens of ms for a weight matrix) inside the timed window."""
     import jax.numpy as _jnp
     leaf = jax.tree.leaves(tree)[0]
@@ -293,7 +293,7 @@ def bench_resnet_extraction(batch_size=128, iters=80, dtype=None):
 
     Input is device-resident and the pipeline is synced by a host
     readback at the end: through this environment's zero-egress relay,
-    host->device transfers run at ~12 MB/s and block_until_ready is a
+    host->device transfers run at ~50 MB/s and block_until_ready is a
     no-op — both tunnel artifacts a real v5e host (PCIe) doesn't have,
     so the compute pipeline is what's measured.
     """
