@@ -29,8 +29,14 @@ Compared per subject x modality:
   2. features: max relative |d| (target < 1e-4);
   3. the .pt side-car equals the h5 features on both sides.
 
+A second arm runs the LUNG CT pipeline the same way (native-DICOM
+series through the pydicom shim; HU -> orientation -> scipy resample
+-> lung mask -> largest_lung_box -> crop -> window-normalize; the
+lungmask U-Net is not installable, so mask.apply routes to the
+classical estimator both pipelines share — see run_lung_arm).
+
 Run:  python tools/parity_extraction_radio.py [workdir]
-Needs /root/reference mounted.  ~2-4 min, CPU.
+Needs /root/reference mounted.  ~3-5 min, CPU.
 """
 import os
 import shutil
@@ -110,14 +116,147 @@ def build_cohort(scan_dir, seed=23):
     return pd.DataFrame(rows)
 
 
+def _safe_hu(candidates):
+    """HU values whose window-normalized byte ((v+1000)/1400*255) sits
+    >0.01 away from an integer: the f32-vs-f64 normalize difference
+    between the two pipelines (ours casts to float32, the reference
+    stays float64) can then never flip the ToPILImage byte."""
+    out = []
+    for v in candidates:
+        b = (v + 1000.0) / 1400.0 * 255.0
+        if abs(b - round(b)) > 0.01:
+            out.append(int(v))
+    return out
+
+
+def build_lung_cohort(scan_dir, seed=29):
+    """Two DICOM CT series phantoms (body + two lung fields with safe-
+    palette texture).  L000 is written at spacing [1, 1.5, 1.5] so the
+    reference's scipy zoom is an identity (exact parity); L001 at
+    2 mm slices so the z-axis genuinely resamples x2 (both pipelines
+    share scipy.ndimage.zoom; only the f32 normalize cast differs)."""
+    import pandas as pd
+    from multimodalfusion_tpu.data import dicom
+    from multimodalfusion_tpu.data.io import ensure_dir
+    rng = np.random.default_rng(seed)
+    lung_vals = _safe_hu(range(-900, -801))
+    body_vals = _safe_hu(range(20, 70))
+    rows = []
+    for s, dz in (("L000", 1.0), ("L001", 2.0)):
+        d = ensure_dir(os.path.join(scan_dir, s, "ct"))
+        nz = 10
+        vol = np.full((nz, 64, 64), -1000, np.int16)
+        vol[:, 4:60, 4:60] = rng.choice(body_vals, size=(nz, 56, 56))
+        vol[2:9, 20:52, 12:30] = rng.choice(lung_vals, size=(7, 32, 18))
+        vol[2:9, 20:52, 34:52] = rng.choice(lung_vals, size=(7, 32, 18))
+        for z in range(nz):
+            dicom.write_ct_slice(os.path.join(d, f"s{z}.dcm"),
+                                 vol[z] + 1024, z=z * dz,
+                                 spacing=(1.5, 1.5), thickness=dz,
+                                 intercept=-1024.0)
+        rows.append({"subject_id": s, "CT": "ct"})
+    return pd.DataFrame(rows)
+
+
+def compare_stores(ref_out, our_out, subjects, modalities, cancer, tol):
+    import h5py
+
+    from multimodalfusion_tpu.data.io import load_pt
+    ok = True
+    worst = 0.0
+    for s in subjects:
+        for m in modalities:
+            rf = os.path.join(ref_out, cancer, "radio_h5_files", m,
+                              f"{s}.h5")
+            of = os.path.join(our_out, cancer, "radio_h5_files", m,
+                              f"{s}.h5")
+            with h5py.File(rf) as f:
+                r_feat = f["features"][:]
+                r_ids = f["slice_index"][:]
+            with h5py.File(of) as f:
+                o_feat = f["features"][:]
+                o_ids = f["slice_index"][:]
+            ids_ok = np.array_equal(np.asarray(r_ids).reshape(-1),
+                                    np.asarray(o_ids).reshape(-1))
+            shape_ok = r_feat.shape == o_feat.shape
+            d = (float(np.max(np.abs(r_feat - o_feat))
+                       / max(np.max(np.abs(r_feat)), 1e-8))
+                 if shape_ok else np.inf)
+            worst = max(worst, d)
+            # the .pt side-cars must equal the h5 features on both sides
+            r_pt = load_pt(os.path.join(ref_out, cancer,
+                                        "radio_pt_files", m, f"{s}.pt"))
+            o_pt = load_pt(os.path.join(our_out, cancer,
+                                        "radio_pt_files", m, f"{s}.pt"))
+            pt_ok = (np.array_equal(r_pt, r_feat)
+                     and np.array_equal(o_pt, o_feat))
+            ok &= ids_ok and shape_ok and d < tol and pt_ok
+            print(f"[{s}/{m}] slice_index "
+                  f"{'identical' if ids_ok else 'DIFFERS'} "
+                  f"({len(np.asarray(r_ids).reshape(-1))} slices), "
+                  f"features rel |d| {d:.2e}, pt==h5 "
+                  f"{'yes' if pt_ok else 'NO'} "
+                  f"{'MATCH' if ids_ok and d < tol and pt_ok else 'MISMATCH'}")
+    return ok, worst
+
+
+def run_lung_arm(base, torch_home, weights):
+    """Lung CT arm: the reference's dataset_raw lung pipeline as run
+    (load_scan -> HU -> orientation -> clip -> scipy resample ->
+    mask.apply -> largest_lung_box -> crop -> window-normalize ->
+    slice select -> ResNet).  The lungmask U-Net is not installable, so
+    the shim routes mask.apply to the classical estimator BOTH
+    pipelines share (PARITY.md §6); pydicom is shimmed onto this repo's
+    native Part-10 reader in the reference process."""
+    scan_dir = os.path.join(base, "lung_scans")
+    df = build_lung_cohort(scan_dir)
+    csv_path = os.path.join(base, "lung_cohort.csv")
+    df.to_csv(csv_path, index=False)
+    ref_out = os.path.join(base, "lung_ref_out")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_reference.py"),
+         os.path.join(REF, "feature_extraction.py"),
+         "--radio_dir", scan_dir, "--csv_path", csv_path,
+         "--output_dir", ref_out, "--batch_size", "8",
+         "--planes", "axial", "--cancer_type", "lung"],
+        cwd=base, env=_ref_env(torch_home), input=b"",
+        capture_output=True, timeout=1200)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr.decode(errors="replace")[-4000:])
+        print("reference lung run FAILED")
+        return False
+    # the reference swallows per-subject errors into not_processed.pkl
+    # — an empty store must fail the comparison, not pass it silently
+    import pickle
+    np_path = os.path.join(ref_out, "not_processed.pkl")
+    if os.path.exists(np_path):
+        with open(np_path, "rb") as f:
+            skipped = pickle.load(f)
+        if skipped:
+            sys.stderr.write(proc.stdout.decode(errors="replace")[-3000:])
+            print(f"reference skipped subjects: {skipped}")
+            return False
+    from multimodalfusion_tpu.cli.feature_extraction import main as ours
+    our_out = os.path.join(base, "lung_our_out")
+    rc = ours(["--radio_dir", scan_dir, "--csv_path", csv_path,
+               "--output_dir", our_out, "--batch_size", "32",
+               "--planes", "axial", "--cancer_type", "lung",
+               "--weights", weights, "--dtype", "float32"])
+    assert rc == 0
+    # L000 resamples at factor 1 (exact); L001 z-resamples x2 — the
+    # interpolated values can land on ToPILImage byte boundaries where
+    # the f32-vs-f64 normalize cast flips single pixels by one level
+    ok0, w0 = compare_stores(ref_out, our_out, ["L000"], ["CT"],
+                             "lung", 1e-4)
+    ok1, w1 = compare_stores(ref_out, our_out, ["L001"], ["CT"],
+                             "lung", 5e-3)
+    return ok0 and ok1
+
+
 def main(base):
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
-    import pandas as pd
-
-    from multimodalfusion_tpu.data.io import load_pt
-
     os.makedirs(base, exist_ok=True)
     torch_home = os.path.join(base, "torch_home")
     weights = os.path.join(base, "resnet50_trunc_random.pt")
@@ -153,43 +292,13 @@ def main(base):
     assert rc == 0
 
     # ---- compare -------------------------------------------------------
-    import h5py
-    ok = True
-    worst = 0.0
-    for s in df["subject_id"]:
-        for m in MODALITIES:
-            rf = os.path.join(ref_out, "glioma", "radio_h5_files", m,
-                              f"{s}.h5")
-            of = os.path.join(our_out, "glioma", "radio_h5_files", m,
-                              f"{s}.h5")
-            with h5py.File(rf) as f:
-                r_feat = f["features"][:]
-                r_ids = f["slice_index"][:]
-            with h5py.File(of) as f:
-                o_feat = f["features"][:]
-                o_ids = f["slice_index"][:]
-            ids_ok = np.array_equal(np.asarray(r_ids).reshape(-1),
-                                    np.asarray(o_ids).reshape(-1))
-            shape_ok = r_feat.shape == o_feat.shape
-            d = (float(np.max(np.abs(r_feat - o_feat))
-                       / max(np.max(np.abs(r_feat)), 1e-8))
-                 if shape_ok else np.inf)
-            worst = max(worst, d)
-            # the .pt side-cars must equal the h5 features on both sides
-            r_pt = load_pt(os.path.join(ref_out, "glioma",
-                                        "radio_pt_files", m, f"{s}.pt"))
-            o_pt = load_pt(os.path.join(our_out, "glioma",
-                                        "radio_pt_files", m, f"{s}.pt"))
-            pt_ok = (np.array_equal(r_pt, r_feat)
-                     and np.array_equal(o_pt, o_feat))
-            ok &= ids_ok and shape_ok and d < 1e-4 and pt_ok
-            print(f"[{s}/{m}] slice_index "
-                  f"{'identical' if ids_ok else 'DIFFERS'} "
-                  f"({len(np.asarray(r_ids).reshape(-1))} slices), "
-                  f"features rel |d| {d:.2e}, pt==h5 "
-                  f"{'yes' if pt_ok else 'NO'} "
-                  f"{'MATCH' if ids_ok and d < 1e-4 and pt_ok else 'MISMATCH'}")
-    print(f"worst rel |d| {worst:.2e}")
+    ok, worst = compare_stores(ref_out, our_out,
+                               list(df["subject_id"]), MODALITIES,
+                               "glioma", 1e-4)
+    print(f"glioma worst rel |d| {worst:.2e}")
+
+    # ---- lung CT arm ----------------------------------------------------
+    ok &= run_lung_arm(base, torch_home, weights)
     print("STAGE-1 RADIO EXTRACTION PARITY:",
           "ALL MATCH" if ok else "MISMATCH")
     return 0 if ok else 1
