@@ -220,9 +220,12 @@ def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
         if blob[pos] != 0xFF:
             raise ValueError(f"expected a JPEG marker at byte {pos}")
         marker = blob[pos + 1]
+        if marker == 0xFF:                 # 0xFF fill byte (T.81 B.1.1.2):
+            pos += 1                       # the NEXT byte pair may be the
+            continue                       # real marker — consume one byte
         pos += 2
-        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue                       # fill byte / TEM / stray RST
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue                       # TEM / stray RST
         if marker == 0xD9:                 # EOI before any scan
             break
         seg_len = struct.unpack(">H", blob[pos:pos + 2])[0]

@@ -482,6 +482,22 @@ def test_jpeg_lossless_sv1_golden_bitstream():
                                   expected)
 
 
+def test_jpeg_lossless_fill_bytes_before_markers():
+    """T.81 B.1.1.2 lets encoders pad any number of 0xFF fill bytes
+    before a marker; both odd and even runs must be skipped (an odd
+    run regressed once: consuming fill bytes two at a time swallowed
+    the real marker's leading 0xFF)."""
+    from multimodalfusion_tpu.data.dicom import (
+        _decode_jpeg_lossless, _encode_jpeg_lossless_sv1)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65536, (3, 4), np.uint16)
+    blob = _encode_jpeg_lossless_sv1(img)
+    for n_fill in (1, 2, 3):
+        padded = blob[:2] + b"\xff" * n_fill + blob[2:]  # after SOI
+        np.testing.assert_array_equal(
+            _decode_jpeg_lossless(padded, 3, 4), img)
+
+
 def test_jpeg_lossless_predictors_decode():
     """Streams using every predictor selection value 1..7 decode; SV1
     equals the encoder's frame, and the others are exercised by
