@@ -66,10 +66,12 @@ def build_cohort(workdir):
         return slide_dir, radio_dir
     # WARMUP slide (compile trigger; must segment to >=1 patch so the
     # Embedder compiles OUTSIDE the timed slides) + N timed slides
-    specs = [("WARMUP", 3072, 2304, 6)] + [
-        (f"SLIDE{i}", SLIDE_W, SLIDE_H, 8) for i in range(N_SLIDES)]
-    for name, w, h, blobs in specs:
-        s = wsi.synthetic_slide(w, h, n_blobs=blobs, seed=hash(name) % 97)
+    specs = [("WARMUP", 3072, 2304, 6, 96)] + [
+        (f"SLIDE{i}", SLIDE_W, SLIDE_H, 8, i) for i in range(N_SLIDES)]
+    for name, w, h, blobs, seed in specs:
+        # fixed per-slide seeds: str hash() is randomized per process
+        # (PYTHONHASHSEED), which made rebuilt cohorts non-comparable
+        s = wsi.synthetic_slide(w, h, n_blobs=blobs, seed=seed)
         imgs = [Image.fromarray(l) for l in s.levels]
         imgs[0].save(os.path.join(slide_dir, f"{name}.tiff"),
                      save_all=True, append_images=imgs[1:])

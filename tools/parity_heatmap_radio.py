@@ -333,8 +333,14 @@ def compare(ref_cwd, save_dir, std, common_ids):
                 d_raw = int(np.abs(ref_px.astype(int)
                                    - std[m][sid].astype(int)).max())
                 maxd_raw = max(maxd_raw, d_raw)
-                attn = float(
-                    our_grp[our_grp.slice_index == sid].attention.iloc[0])
+                our_rows = our_grp[our_grp.slice_index == sid]
+                if our_rows.empty:
+                    # reference selected a slice we never rendered —
+                    # report the MISMATCH instead of IndexError-ing
+                    ok = False
+                    maxd = 255
+                    continue
+                attn = float(our_rows.attention.iloc[0])
                 our_px = cv2.imread(
                     os.path.join(our_dir, f"slice{sid}_a{attn:.3f}.png"),
                     cv2.IMREAD_GRAYSCALE)
@@ -446,6 +452,7 @@ def main(base):
 
 if __name__ == "__main__":
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/radio_heatmap_parity"
-    if os.path.isdir(base) and len(sys.argv) > 1:
-        shutil.rmtree(base, ignore_errors=True)
+    # always start from an empty workdir (default included) — a stale
+    # dir mixes old reference PNGs/scores into the verdict
+    shutil.rmtree(base, ignore_errors=True)
     sys.exit(main(base))
