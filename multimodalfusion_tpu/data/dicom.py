@@ -33,6 +33,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from multimodalfusion_tpu import native
+
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
@@ -209,7 +211,7 @@ def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
     if blob[:2] != b"\xff\xd8":
         raise ValueError("lossless-JPEG frame missing SOI")
     pos = 2
-    huff: Dict[int, Dict[Tuple[int, int], int]] = {}
+    huff: Dict[int, Tuple[bytes, bytes]] = {}  # id -> (BITS, HUFFVAL)
     precision = lines = samples = None
     psv = point_transform = None
     table_id = 0
@@ -238,7 +240,7 @@ def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
                 counts = seg[o + 1:o + 17]
                 total = sum(counts)
                 symbols = seg[o + 17:o + 17 + total]
-                huff[tc_th & 0x0F] = _build_huffman(counts, symbols)
+                huff[tc_th & 0x0F] = (counts, symbols)
                 o += 17 + total
         elif marker == 0xC3:               # SOF3: lossless, Huffman
             precision = seg[0]
@@ -279,12 +281,20 @@ def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
         raise ValueError(
             f"lossless-JPEG frame {(lines, samples)} does not match "
             f"Rows/Columns ({rows}, {cols})")
-    table = huff.get(table_id)
-    if table is None:
+    raw = huff.get(table_id)
+    if raw is None:
         raise ValueError(f"scan references undefined Huffman table "
                          f"{table_id}")
-    reader = _BitReader(entropy)
+    counts, symbols = raw
     default = 1 << (precision - 1 - point_transform)
+    arr = native.jpeg_lossless_decode(entropy, counts, symbols, rows,
+                                      cols, psv, default)
+    if arr is not None:                    # C++ hot path (~5 ms/slice)
+        return arr << np.uint16(point_transform)
+    # pure-Python fallback (no compiler, or malformed stream — re-decode
+    # here so errors carry the precise diagnosis)
+    table = _build_huffman(counts, symbols)
+    reader = _BitReader(entropy)
     out = np.empty((rows, cols), np.int64)
     for y in range(rows):
         row_above = out[y - 1] if y else None

@@ -39,8 +39,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) and os.path.exists(_SRC):
-            if not _build():
+        stale = (os.path.exists(_LIB) and os.path.exists(_SRC)
+                 and os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+        if (not os.path.exists(_LIB) or stale) and os.path.exists(_SRC):
+            if not _build() and not os.path.exists(_LIB):
                 return None
         try:
             lib = ctypes.CDLL(_LIB)
@@ -58,6 +60,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64, ctypes.c_int]
         lib.mmf_read_files.restype = ctypes.c_int64
+        if hasattr(lib, "mmf_jpeg_lossless_decode"):  # absent in old .so
+            lib.mmf_jpeg_lossless_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p]
+            lib.mmf_jpeg_lossless_decode.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -120,6 +128,25 @@ def f32_to_bf16(x: np.ndarray, n_threads: int = 0) -> Optional[np.ndarray]:
                         n_threads)
     import ml_dtypes
     return out.view(ml_dtypes.bfloat16)
+
+
+def jpeg_lossless_decode(entropy: bytes, counts: bytes, symbols: bytes,
+                         rows: int, cols: int, psv: int,
+                         default_pred: int) -> Optional[np.ndarray]:
+    """C++ T.81 process-14 entropy decode + prediction (the per-pixel
+    loop data/dicom.py would otherwise run in Python). Returns uint16
+    (rows, cols) WITHOUT the point transform applied, or None when the
+    library is unavailable or the stream is malformed (the caller's
+    pure-Python path then raises the precise error)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "mmf_jpeg_lossless_decode"):
+        return None
+    out = np.empty((rows, cols), np.uint16)
+    rc = lib.mmf_jpeg_lossless_decode(
+        entropy, len(entropy), bytes(counts), bytes(symbols),
+        rows, cols, psv, default_pred,
+        out.ctypes.data_as(ctypes.c_void_p))
+    return out if rc == 0 else None
 
 
 def read_files(paths: List[str], sizes: List[int], n_threads: int = 0):

@@ -516,6 +516,31 @@ def test_jpeg_lossless_predictors_decode():
             _decode_jpeg_lossless(bytes(blob), 5, 1), img)
 
 
+def test_jpeg_lossless_native_matches_python():
+    """The C++ entropy decoder (native/bagio.cpp
+    mmf_jpeg_lossless_decode) and the pure-Python fallback produce
+    identical pixels; malformed streams fall back and raise the
+    Python path's precise error."""
+    from multimodalfusion_tpu import native
+    from multimodalfusion_tpu.data import dicom
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 65536, (37, 23), np.uint16)
+    blob = dicom._encode_jpeg_lossless_sv1(img)
+    got_native = dicom._decode_jpeg_lossless(blob, 37, 23)
+    orig = native.jpeg_lossless_decode
+    try:
+        native.jpeg_lossless_decode = lambda *a, **k: None
+        got_py = dicom._decode_jpeg_lossless(blob, 37, 23)
+    finally:
+        native.jpeg_lossless_decode = orig
+    np.testing.assert_array_equal(got_native, got_py)
+    np.testing.assert_array_equal(got_native, img)
+    # truncated entropy: native returns an error code, the Python
+    # re-decode raises (IndexError off the bit buffer / ValueError)
+    with pytest.raises((IndexError, ValueError)):
+        dicom._decode_jpeg_lossless(blob[:-20] + b"\xff\xd9", 37, 23)
+
+
 def test_jpeg_lossless_extreme_diffs_roundtrip():
     """Category-16 (diff 32768 mod 2**16) and every-sign diffs survive
     an encode/decode round-trip."""
