@@ -52,7 +52,7 @@ def _start_watchdog(minutes: float = 10.0, phase: str = "headline"):
     return done
 
 
-def _setup():
+def _setup(B=48, N=4096, D=1024):
     import jax
     import jax.numpy as jnp
     import optax
@@ -63,7 +63,6 @@ def _setup():
     # ~0.93x of the B=48 rate across same-session sweeps; plateau past
     # B~48); the reference cannot batch at all (ragged collate forces
     # batch_size=1, ref README.md:95)
-    B, N, D = 48, 4096, 1024
     rng = np.random.default_rng(0)
     cfg = TrainConfig(model_type="path_attention_mil", mode="path",
                       bag_loss="nll_surv", gate_path=True, batch_size=B,
@@ -105,6 +104,37 @@ def _sync(jax, tree):
     return tree
 
 
+def chained_step_rate(jax, train_step, variables, opt_state, batch, key,
+                      iters=100, reps=3):
+    """THE in-graph chained-train-step timing harness: warmup compile,
+    then best-of-``reps`` runs of ``iters`` train steps chained inside
+    one jitted fori_loop (single dispatch), synced by host readback.
+    Returns best steps/second — multiply by the batch's units (bags,
+    instances, subjects) for a rate.
+
+    Every A/B arm (bench.py, tools/bench_variants.py,
+    tools/tpu_kernel_selftest.py) must ride THIS definition; a
+    methodology tweak applied anywhere else silently makes the recorded
+    numbers incomparable."""
+    @jax.jit
+    def chained(v, o, b):
+        def body(i, carry):
+            vv, oo = carry
+            vv, oo, _ = train_step(vv, oo, b, jax.random.fold_in(key, i))
+            return (vv, oo)
+        return jax.lax.fori_loop(0, iters, body, (v, o))
+
+    v, o = chained(variables, opt_state, batch)
+    _sync(jax, v)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        v, o = chained(v, o, batch)
+        _sync(jax, v)
+        best = max(best, iters / (time.perf_counter() - t0))
+    return best
+
+
 def bench_batched(setup, iters=50):
     """Per-dispatch chained steps (each step separately dispatched).
     Through the axon relay every dispatch adds a multi-ms gap a real
@@ -138,28 +168,11 @@ def bench_batched_ingraph(setup, iters=100):
     (jax, jnp, optax, cfg, model, tx, train_step, variables, opt_state,
      jbatch, B, N, D) = setup
     key = jax.random.PRNGKey(1)
-
-    @jax.jit
-    def chained(v, o, batch):
-        def body(i, carry):
-            vv, oo = carry
-            vv, oo, _ = train_step(vv, oo, batch,
-                                   jax.random.fold_in(key, i))
-            return (vv, oo)
-        return jax.lax.fori_loop(0, iters, body, (v, o))
-
     v0 = jax.tree.map(lambda x: x.copy(), variables)
     o0 = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
                       opt_state)
-    v, o = chained(v0, o0, jbatch)
-    _sync(jax, v)
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        v, o = chained(v, o, jbatch)
-        _sync(jax, v)
-        best = max(best, B * iters / (time.perf_counter() - t0))
-    return best
+    return B * chained_step_rate(jax, train_step, v0, o0, jbatch, key,
+                                 iters=iters)
 
 
 def bench_batched_ingraph_dropout(setup, iters=100):
@@ -186,25 +199,8 @@ def bench_batched_ingraph_dropout(setup, iters=100):
                                     mask=jbatch["path_mask"],
                                     deterministic=True))
     opt_state_d = tx_d.init(variables_d["params"])
-
-    @jax.jit
-    def chained(v, o, batch):
-        def body(i, carry):
-            vv, oo = carry
-            vv, oo, _ = train_step_d(vv, oo, batch,
-                                     jax.random.fold_in(key, i))
-            return (vv, oo)
-        return jax.lax.fori_loop(0, iters, body, (v, o))
-
-    v, o = chained(variables_d, opt_state_d, jbatch)
-    _sync(jax, v)
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        v, o = chained(v, o, jbatch)
-        _sync(jax, v)
-        best = max(best, B * iters / (time.perf_counter() - t0))
-    return best
+    return B * chained_step_rate(jax, train_step_d, variables_d,
+                                 opt_state_d, jbatch, key, iters=iters)
 
 
 def bench_reference_style(setup, iters=100):
@@ -233,24 +229,9 @@ def bench_reference_style(setup, iters=100):
                                       mask=b1["path_mask"],
                                       deterministic=True))
         opt_state1 = tx1.init(variables1["params"])
-        @jax.jit
-        def chained1(v, o, batch):
-            def body(i, carry):
-                vv, oo = carry
-                vv, oo, _ = train_step1(vv, oo, batch,
-                                        jax.random.fold_in(key, i))
-                return (vv, oo)
-            return jax.lax.fori_loop(0, iters, body, (v, o))
-
         # in-graph chaining, same methodology as bench_batched_ingraph
-        v, o = chained1(variables1, opt_state1, b1)
-        _sync(jax, v)
-        best = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            v, o = chained1(v, o, b1)
-            _sync(jax, v)
-            best = max(best, iters / (time.perf_counter() - t0))
+        best = chained_step_rate(jax, train_step1, variables1, opt_state1,
+                                 b1, key, iters=iters)
     finally:
         mil._use_pallas = orig
     return best

@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -28,9 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-# the relay-sync recipe must stay identical to the headline bench or
-# the A/B numbers stop being comparable to it — share one definition
-from bench import _sync  # noqa: E402
+# the harness (chained fori_loop steps, relay sync, best-of-reps) must
+# stay identical to the headline bench or the A/B numbers stop being
+# comparable to it — share one definition
+from bench import chained_step_rate  # noqa: E402
 
 
 def bench_amil(drop_out: bool, B=48, N=4096, D=1024, iters=100, reps=3):
@@ -65,24 +65,8 @@ def bench_amil(drop_out: bool, B=48, N=4096, D=1024, iters=100, reps=3):
                                 mask=jbatch["path_mask"],
                                 deterministic=True))
     opt_state = tx.init(variables["params"])
-
-    @jax.jit
-    def chained(v, o, batch):
-        def body(i, carry):
-            vv, oo = carry
-            vv, oo, _ = train_step(vv, oo, batch, jax.random.fold_in(key, i))
-            return (vv, oo)
-        return jax.lax.fori_loop(0, iters, body, (v, o))
-
-    v, o = chained(variables, opt_state, jbatch)
-    _sync(jax, v)
-    best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        v, o = chained(v, o, jbatch)
-        _sync(jax, v)
-        best = max(best, B * iters / (time.perf_counter() - t0))
-    return best
+    return B * chained_step_rate(jax, train_step, variables, opt_state,
+                                 jbatch, key, iters=iters, reps=reps)
 
 
 def bench_mm_flagship(B=8, Nr=1024, Np=2048, G=36, n_mod=4, iters=50,
@@ -130,25 +114,8 @@ def bench_mm_flagship(B=8, Nr=1024, Np=2048, G=36, n_mod=4, iters=50,
     variables = dict(model.init({"params": key, "dropout": key},
                                 deterministic=True, **init_kwargs))
     opt_state = tx.init(variables["params"])
-
-    @jax.jit
-    def chained(v, o, batch):
-        def body(i, carry):
-            vv, oo = carry
-            vv, oo, _ = train_step(vv, oo, batch,
-                                   jax.random.fold_in(key, i))
-            return (vv, oo)
-        return jax.lax.fori_loop(0, iters, body, (v, o))
-
-    v, o = chained(variables, opt_state, jbatch)
-    _sync(jax, v)
-    best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        v, o = chained(v, o, jbatch)
-        _sync(jax, v)
-        best = max(best, B * iters / (time.perf_counter() - t0))
-    return best
+    return B * chained_step_rate(jax, train_step, variables, opt_state,
+                                 jbatch, key, iters=iters, reps=reps)
 
 
 def main():

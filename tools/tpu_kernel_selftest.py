@@ -172,8 +172,6 @@ def bigbag_case(rng):
     executed on the chip at B=2 x N=32,768, plus fused-vs-oracle pool
     checks at that N so the VMEM byte-budget tile heuristics are
     validated compiled at the scale they were written for."""
-    import time
-
     from multimodalfusion_tpu.engine.train import (TrainConfig,
                                                    build_model,
                                                    make_optimizer,
@@ -223,25 +221,14 @@ def bigbag_case(rng):
     v, o, out1 = train_step(variables, opt_state, batch, key)
     loss1 = float(out1["loss"])
 
-    iters = 8
-
-    @jax.jit
-    def chained(vv, oo, bb):
-        def body(i, carry):
-            cv, co = carry
-            cv, co, _ = train_step(cv, co, bb, jax.random.fold_in(key, i))
-            return (cv, co)
-        return jax.lax.fori_loop(0, iters, body, (vv, oo))
-
-    v, o = chained(v, o, batch)
-    float(jnp.sum(jax.tree.leaves(v)[0]))  # sync (relay: readback)
-    t0 = time.perf_counter()
-    v, o = chained(v, o, batch)
-    float(jnp.sum(jax.tree.leaves(v)[0]))
-    dt = time.perf_counter() - t0
+    # one shared harness definition (warmup + chained fori_loop + relay
+    # sync) so this rate stays comparable to bench.py's
+    from bench import chained_step_rate
+    rate = chained_step_rate(jax, train_step, v, o, batch, key,
+                             iters=8, reps=1)
     errs["train_loss_finite"] = float(np.isfinite(loss1))
-    errs["train_instances_per_s"] = B * N * iters / dt
-    errs["train_bags_per_s"] = B * iters / dt
+    errs["train_instances_per_s"] = B * N * rate
+    errs["train_bags_per_s"] = B * rate
     return errs, loss1
 
 
