@@ -289,7 +289,7 @@ def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
     default = 1 << (precision - 1 - point_transform)
     arr = native.jpeg_lossless_decode(entropy, counts, symbols, rows,
                                       cols, psv, default)
-    if arr is not None:                    # C++ hot path (~5 ms/slice)
+    if arr is not None:        # C++ hot path (~33 ms per 512x512 slice)
         return arr << np.uint16(point_transform)
     # pure-Python fallback (no compiler, or malformed stream — re-decode
     # here so errors carry the precise diagnosis)
