@@ -694,6 +694,33 @@ def test_native_dicom_multiframe_rejected_not_truncated(tmp_path):
         dicom.read_file(p4).pixel_array
 
 
+def test_native_dicom_jpeg_frame_split_across_fragments(tmp_path):
+    """Real archives split one JPEG frame across several PixelData
+    fragments (PS3.5 A.4 allows any fragmentation for JPEG-family
+    syntaxes, unlike RLE's one-frame-per-fragment): the reader must
+    join fragments before decoding."""
+    import struct
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    p = str(tmp_path / "frag1.dcm")
+    dicom.write_ct_slice(p, vol[0], z=0.0, compression="jpeg_lossless")
+    raw = open(p, "rb").read()
+    frame = dicom._encode_jpeg_lossless_sv1(
+        np.ascontiguousarray(vol[0], np.int16).view(np.uint16))
+    if len(frame) % 2:
+        frame += b"\x00"
+    frag_item = struct.pack("<HHI", 0xFFFE, 0xE000, len(frame)) + frame
+    assert raw.count(frag_item) == 1
+    cut = (len(frame) // 2) & ~1           # even-length fragments
+    two_frags = (struct.pack("<HHI", 0xFFFE, 0xE000, cut) + frame[:cut]
+                 + struct.pack("<HHI", 0xFFFE, 0xE000, len(frame) - cut)
+                 + frame[cut:])
+    p2 = str(tmp_path / "frag2.dcm")
+    open(p2, "wb").write(raw.replace(frag_item, two_frags))
+    np.testing.assert_array_equal(dicom.read_file(p2).pixel_array,
+                                  dicom.read_file(p).pixel_array)
+
+
 def test_native_dicom_color_and_12bit_jpeg_clear_errors(tmp_path):
     """The PIL decode path must reject what the CT pipeline cannot
     consume: (a) a color baseline-JPEG frame decodes to (H, W, 3) and
