@@ -155,6 +155,10 @@ def _build_huffman(counts: bytes, symbols: bytes) -> Dict[Tuple[int, int], int]:
     code, k = 0, 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("non-canonical Huffman table in "
+                                 "lossless-JPEG DHT (code space of "
+                                 f"length {length} exhausted)")
             table[(length, code)] = symbols[k]
             k += 1
             code += 1
@@ -240,6 +244,11 @@ def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
                 counts = seg[o + 1:o + 17]
                 total = sum(counts)
                 symbols = seg[o + 17:o + 17 + total]
+                # validate HERE (the slices silently shorten on a
+                # truncated segment, and the C++ decoder trusts them)
+                if len(counts) < 16 or len(symbols) < total:
+                    raise ValueError("truncated DHT segment in "
+                                     "lossless-JPEG frame")
                 huff[tc_th & 0x0F] = (counts, symbols)
                 o += 17 + total
         elif marker == 0xC3:               # SOF3: lossless, Huffman
@@ -301,6 +310,9 @@ def _decode_jpeg_lossless(blob: bytes, rows: int, cols: int) -> np.ndarray:
         row_cur = out[y]
         for x in range(cols):
             ssss = _huff_decode(reader, table)
+            if ssss > 16:                  # SSSS categories end at 16
+                raise ValueError(f"invalid SSSS symbol {ssss} in "
+                                 "lossless-JPEG scan")
             if ssss == 0:
                 diff = 0
             elif ssss == 16:

@@ -135,8 +135,10 @@ int64_t mmf_read_files(const char** paths, const int64_t* sizes,
 // the entropy-coded bytes plus the selected DHT's BITS/HUFFVAL lists;
 // this routine runs the per-pixel Huffman walk and prediction that
 // costs ~1 s per 512x512 slice in pure Python (~5 min per CT series).
-// counts: 16 bytes (codes per length), symbols: sum(counts) bytes.
-// Returns 0 ok, -1 invalid Huffman code, -2 truncated stream,
+// counts: 16 bytes (codes per length), symbols: sum(counts) bytes —
+// lengths validated by the caller; canonicity is validated HERE
+// because a non-canonical DHT would otherwise index past the LUT.
+// Returns 0 ok, -1 invalid Huffman table/code, -2 truncated stream,
 // -3 unsupported predictor.
 int mmf_jpeg_lossless_decode(const uint8_t* entropy, int64_t n_bytes,
                              const uint8_t* counts, const uint8_t* symbols,
@@ -150,6 +152,9 @@ int mmf_jpeg_lossless_decode(const uint8_t* entropy, int64_t n_bytes,
     int k = 0;
     for (int L = 1; L <= 16; ++L) {
         for (int i = 0; i < counts[L - 1]; ++i) {
+            if (code >= (1u << L)) return -1;  // non-canonical DHT: the
+            // code space of length L is exhausted; writing would run
+            // past the 2^16-entry LUT (heap corruption)
             uint32_t lo = code << (16 - L);
             uint32_t hi = lo + (1u << (16 - L));
             for (uint32_t w = lo; w < hi; ++w) {
@@ -187,6 +192,8 @@ int mmf_jpeg_lossless_decode(const uint8_t* entropy, int64_t n_bytes,
             bitpos += e.len;
             if (bitpos > total_bits) return -2;
             int ssss = e.sym;
+            if (ssss > 16) return -1;  // SSSS past the 16-bit category
+            // table: 1<<ssss / the magnitude shift would be UB
             int diff;
             if (ssss == 0) {
                 diff = 0;

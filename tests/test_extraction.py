@@ -516,6 +516,45 @@ def test_jpeg_lossless_predictors_decode():
             _decode_jpeg_lossless(bytes(blob), 5, 1), img)
 
 
+def _jpeg_stream(dht_payload, entropy, rows=2, cols=3, precision=16):
+    """Assemble SOI + DHT + SOF3 + SOS + entropy + EOI around an
+    arbitrary (possibly malformed) DHT payload."""
+    import struct
+    sof = struct.pack(">BHHB", precision, rows, cols, 1) + bytes(
+        [1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 1, 0, 0x00])
+    return (b"\xff\xd8"
+            + b"\xff\xc4" + struct.pack(">H", len(dht_payload) + 2)
+            + dht_payload
+            + b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+            + entropy + b"\xff\xd9")
+
+
+def test_jpeg_lossless_malformed_dht_raises_cleanly():
+    """Corruption-controlled DHT contents must raise ValueError in both
+    decode paths — never crash the process (a non-canonical counts list
+    once drove the C++ LUT build past its allocation: heap corruption)."""
+    from multimodalfusion_tpu.data.dicom import _decode_jpeg_lossless
+
+    # (a) non-canonical: three 1-bit codes (the 1-bit space holds two)
+    dht = bytes([0x00, 3] + [0] * 15 + [0, 1, 2])
+    blob = _jpeg_stream(dht, b"\x00\x00")
+    with pytest.raises(ValueError, match="non-canonical"):
+        _decode_jpeg_lossless(blob, 2, 3)
+    # (b) truncated: counts promise 4 symbols, payload carries 2
+    dht = bytes([0x00, 0, 4] + [0] * 14 + [0, 1])
+    blob = _jpeg_stream(dht, b"\x00\x00")
+    with pytest.raises(ValueError, match="truncated DHT"):
+        _decode_jpeg_lossless(blob, 2, 3)
+    # (c) SSSS symbol past category 16: canonical 1-bit table {0, 40};
+    # entropy bit '1' selects 40 (native: shift UB; python: garbage)
+    dht = bytes([0x00, 2] + [0] * 15 + [0, 40])
+    blob = _jpeg_stream(dht, b"\xaa\xaa")  # first bit 1 -> symbol 40
+    with pytest.raises(ValueError, match="invalid SSSS|invalid Huffman"):
+        _decode_jpeg_lossless(blob, 2, 3)
+
+
 def test_jpeg_lossless_native_matches_python():
     """The C++ entropy decoder (native/bagio.cpp
     mmf_jpeg_lossless_decode) and the pure-Python fallback produce

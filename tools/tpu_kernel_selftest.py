@@ -224,8 +224,10 @@ def bigbag_case(rng):
     # one shared harness definition (warmup + chained fori_loop + relay
     # sync) so this rate stays comparable to bench.py's
     from bench import chained_step_rate
+    # reps=3 like every other arm: a single rep once enshrined a
+    # relay-congested window as a 3.4x-low record
     rate = chained_step_rate(jax, train_step, v, o, batch, key,
-                             iters=8, reps=1)
+                             iters=8, reps=3)
     errs["train_loss_finite"] = float(np.isfinite(loss1))
     errs["train_instances_per_s"] = B * N * rate
     errs["train_bags_per_s"] = B * rate
