@@ -818,3 +818,126 @@ def test_native_dicom_color_and_12bit_jpeg_clear_errors(tmp_path):
     s = dicom.read_file(p_ext)  # structural parse must succeed
     with pytest.raises(NotImplementedError, match="12-bit"):
         s.pixel_array
+
+
+def test_dicom_fuzz_corrupt_files_fail_cleanly(tmp_path):
+    """Deterministic corruption fuzz over the whole Part-10 read path
+    (parser -> codec -> native lossless-JPEG decoder): truncations,
+    byte flips, zeroed windows, and random splices of valid files for
+    every shipped syntax must either still parse or raise an ordinary
+    exception — never hang the process or scribble past the native
+    decoder's prefix LUT (native/bagio.cpp::mmf_jpeg_lossless_decode
+    rejects non-canonical DHTs for exactly this reason).  The reference
+    delegates this surface to pydicom
+    (ref utils/ct_preprocess_utils.py:14-34); a hand-rolled reader needs
+    its own no-crash evidence because the extraction CLI's per-scan
+    fault isolation (cli/feature_extraction.py) can only catch clean
+    exceptions.  SIGALRM turns any non-terminating parse into a test
+    failure instead of a suite hang."""
+    import signal
+
+    from multimodalfusion_tpu.data import dicom
+
+    vol = _synthetic_ct_volume(n=1)
+    originals = {}
+    for comp in (None, "rle", "jpeg_lossless", "deflated"):
+        p = str(tmp_path / f"{comp or 'raw'}.dcm")
+        dicom.write_ct_slice(p, vol[0], z=0.0, compression=comp)
+        originals[comp] = open(p, "rb").read()
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError("DICOM fuzz case hung: a parser loop did "
+                           "not terminate on corrupted input")
+
+    old_handler = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(300)
+    rng = np.random.default_rng(2026)
+    target = str(tmp_path / "fuzz.dcm")
+    n_raised = n_total = 0
+    try:
+        for comp, raw in originals.items():
+            for _ in range(40):
+                buf = bytearray(raw)
+                kind = int(rng.integers(0, 4))
+                if kind == 0:  # truncate anywhere, incl. mid-header
+                    buf = buf[:int(rng.integers(0, len(buf)))]
+                elif kind == 1:  # flip 1..8 bytes
+                    for _ in range(int(rng.integers(1, 9))):
+                        i = int(rng.integers(0, len(buf)))
+                        buf[i] ^= int(rng.integers(1, 256))
+                elif kind == 2:  # zero a window (fake lengths/tags)
+                    i = int(rng.integers(0, len(buf)))
+                    j = min(len(buf), i + int(rng.integers(1, 64)))
+                    buf[i:j] = b"\x00" * (j - i)
+                else:  # splice random bytes (shifts every later field)
+                    i = int(rng.integers(0, len(buf)))
+                    ins = rng.integers(
+                        0, 256, int(rng.integers(1, 32))).astype(
+                            np.uint8).tobytes()
+                    buf[i:i] = ins
+                with open(target, "wb") as f:
+                    f.write(bytes(buf))
+                n_total += 1
+                ok_shape = None
+                try:
+                    ok_shape = dicom.read_file(target).pixel_array.shape
+                except Exception:
+                    n_raised += 1
+                if ok_shape is not None:  # survived the damage: fine,
+                    assert len(ok_shape) == 2  # but must be a 2-D frame
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_handler)
+    # sanity that the fuzz really corrupted things (not a no-op loop);
+    # some mutations land in ignored padding and legitimately survive
+    assert n_total == 160 and n_raised >= n_total // 2
+
+
+def test_jpeg_lossless_fuzz_bitstream_never_crashes():
+    """Byte-level corruption of a valid T.81 process-14 bitstream —
+    biased toward the DHT segment, whose BITS/HUFFVAL bytes size the
+    native decoder's 16-bit prefix LUT — must decode to the requested
+    shape or raise, never crash.  This is the memory-safety-critical
+    surface: a non-canonical DHT once implied out-of-bounds LUT writes
+    (guarded at native/bagio.cpp's `code >= 1<<L` check), and the
+    entropy tail drives the bit-reader's truncation accounting."""
+    import signal
+
+    from multimodalfusion_tpu.data import dicom
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 65536, (16, 24), np.uint16)
+    blob = dicom._encode_jpeg_lossless_sv1(np.ascontiguousarray(img))
+    dht_at = blob.find(b"\xff\xc4")
+    assert dht_at > 0
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError("lossless-JPEG fuzz case hung")
+
+    old_handler = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(300)
+    n_raised = 0
+    try:
+        for it in range(250):
+            m = bytearray(blob)
+            if it % 3 == 0:  # corrupt the DHT region specifically
+                i = dht_at + int(rng.integers(0, min(40, len(m) - dht_at)))
+                m[i] ^= int(rng.integers(1, 256))
+            elif it % 3 == 1:  # flip 1..6 bytes anywhere
+                for _ in range(int(rng.integers(1, 7))):
+                    i = int(rng.integers(0, len(m)))
+                    m[i] ^= int(rng.integers(1, 256))
+            else:  # truncate the entropy tail / markers
+                m = m[:int(rng.integers(2, len(m)))]
+            try:
+                out = dicom._decode_jpeg_lossless(bytes(m), 16, 24)
+                assert out.shape == (16, 24)  # damage survived: still
+                # must honor the caller's frame geometry
+            except AssertionError:
+                raise
+            except Exception:
+                n_raised += 1
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_handler)
+    assert n_raised >= 125  # the fuzz corrupted most cases
