@@ -941,3 +941,66 @@ def test_jpeg_lossless_fuzz_bitstream_never_crashes():
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old_handler)
     assert n_raised >= 125  # the fuzz corrupted most cases
+
+
+def test_nifti_fuzz_corrupt_headers_fail_cleanly(tmp_path):
+    """Corrupted .nii / .nii.gz files (flipped header bytes — dims,
+    datatype, vox_offset — truncations, zeroed windows) must read or
+    raise an ordinary exception, never hang or allocate unbounded
+    memory: negative/oversized dim products hit numpy's frombuffer /
+    reshape validation, not a raw malloc.  Same no-crash contract the
+    DICOM fuzz pins; the reference gets this from nibabel/SimpleITK,
+    this reader is hand-rolled (data/nifti.py)."""
+    import signal
+
+    from multimodalfusion_tpu.data.nifti import read_nifti, write_nifti
+
+    rng = np.random.default_rng(11)
+    vol = rng.normal(size=(4, 6, 5)).astype(np.float32)
+    originals = []
+    for name in ("f.nii", "f.nii.gz"):
+        p = str(tmp_path / name)
+        write_nifti(p, vol, pixdim=(1.0, 2.0, 3.0))
+        originals.append((name, open(p, "rb").read()))
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError("NIfTI fuzz case hung")
+
+    old_handler = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(120)
+    n_raised = n_total = 0
+    try:
+        for name, raw in originals:
+            target = str(tmp_path / ("fuzz_" + name))
+            for _ in range(60):
+                buf = bytearray(raw)
+                kind = int(rng.integers(0, 3))
+                if kind == 0:
+                    buf = buf[:int(rng.integers(0, len(buf)))]
+                elif kind == 1:
+                    # bias half the flips into the 348-byte header,
+                    # where dims/datatype/vox_offset live (for .gz the
+                    # flip corrupts the stream instead — also wanted)
+                    hi = min(len(buf), 348) if rng.integers(0, 2) else \
+                        len(buf)
+                    for _ in range(int(rng.integers(1, 9))):
+                        i = int(rng.integers(0, hi))
+                        buf[i] ^= int(rng.integers(1, 256))
+                else:
+                    i = int(rng.integers(0, len(buf)))
+                    j = min(len(buf), i + int(rng.integers(1, 48)))
+                    buf[i:j] = b"\x00" * (j - i)
+                with open(target, "wb") as f:
+                    f.write(bytes(buf))
+                n_total += 1
+                try:
+                    img = read_nifti(target)
+                    assert img.data.ndim == 3
+                except AssertionError:
+                    raise
+                except Exception:
+                    n_raised += 1
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_handler)
+    assert n_total == 120 and n_raised >= n_total // 3
