@@ -1004,3 +1004,32 @@ def test_nifti_fuzz_corrupt_headers_fail_cleanly(tmp_path):
         signal.alarm(0)
         signal.signal(signal.SIGALRM, old_handler)
     assert n_total == 120 and n_raised >= n_total // 3
+
+
+def test_native_decoder_guards_below_python_validation():
+    """Drive the C++ decoder (native/bagio.cpp::mmf_jpeg_lossless_decode)
+    DIRECTLY, below data/dicom.py's marker-level validation, with tables
+    the Python layer would normally reject: (a) a DHT whose length-1
+    code count (3) exceeds the binary code space (2) must hit the
+    `code >= 1<<L` guard — the alternative is writing past the
+    2^16-entry prefix LUT (heap corruption); (b) a symbol value 17
+    (SSSS past the 16-bit category table) must hit the ssss guard, not
+    shift by 17.  The ctypes wrapper maps both to None."""
+    from multimodalfusion_tpu import native
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "mmf_jpeg_lossless_decode"):
+        pytest.skip("native library unavailable (no compiler)")
+    # (a) non-canonical: 3 codes of length 1
+    assert native.jpeg_lossless_decode(
+        b"\x00" * 8, bytes([3] + [0] * 15), bytes([0, 1, 2]),
+        2, 2, 1, 32768) is None
+    # (b) canonical single-code table whose symbol is an invalid SSSS
+    assert native.jpeg_lossless_decode(
+        b"\x00" * 8, bytes([1] + [0] * 15), bytes([17]),
+        2, 2, 1, 32768) is None
+    # sanity: the same shapes with a VALID table decode fine (all-zero
+    # entropy bits under a one-code {sym 0} table = every diff 0)
+    out = native.jpeg_lossless_decode(
+        b"\x00" * 8, bytes([1] + [0] * 15), bytes([0]), 2, 2, 1, 32768)
+    assert out is not None and out.shape == (2, 2)
+    assert (np.asarray(out) == 32768).all()
