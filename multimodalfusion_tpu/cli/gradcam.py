@@ -467,10 +467,12 @@ def run_cohort(args) -> int:
                 print(f"{subject}: not in --scores_csv, skipping")
                 continue
         else:
-            # no scores.csv: rank by the first rendered modality's own
+            # no scores.csv: rank by the first RENDERED modality's own
             # attention (documented fallback; the reference hard-requires
-            # the per-subject scores.csv)
-            first = per_mod[mods[0]]
+            # the per-subject scores.csv).  "First rendered", not
+            # mods[0]: a modality that failed preprocessing is absent
+            # from per_mod and must not KeyError the whole cohort run.
+            first = per_mod[next(m for m in mods if m in per_mod)]
             att = dict(zip(first["ids"],
                            [float(s) for s in first["scores"]]))
             order = np.argsort(-first["scores"])

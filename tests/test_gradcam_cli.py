@@ -212,6 +212,24 @@ def test_gradcam_cohort_mode(tmp_path):
     assert rc == 2
     assert list((b / "coh_bad").iterdir()) == []
 
+    # ---- no --scores_csv + the FIRST modality unreadable: the
+    # attention-ranked fallback must key off the first modality that
+    # actually rendered, not mods[0] (which would KeyError the cohort)
+    rows_bad = [{"subject_id": "SUBJ000",
+                 "T1": "does_not_exist.nii.gz",
+                 "T2": f"SUBJ000_T2.nii.gz"}]
+    bad_csv = str(b / "scan_list_bad.csv")
+    pd.DataFrame(rows_bad).to_csv(bad_csv, index=False)
+    no_scores = [a for a in common
+                 if a not in ("--scores_csv", scores_csv)]
+    no_scores[no_scores.index(cohort_csv)] = bad_csv
+    rc = gc_main(no_scores + ["--save_dir", str(b / "coh_fb"),
+                              "--top", "2"])
+    assert rc == 0
+    pngs = sorted(p.name for p in
+                  (b / "coh_fb" / "SUBJ000" / "ig_heatmap").glob("*.png"))
+    assert len(pngs) == 2 and all(n.startswith("T2_") for n in pngs), pngs
+
 
 def test_cam_runner_matches_scan_cams():
     """The compile-once cohort CamRunner (slot traced, slices padded to
