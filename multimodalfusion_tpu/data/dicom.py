@@ -8,6 +8,8 @@ module implements the subset of DICOM needed by that pipeline natively:
   * Part-10 files (128-byte preamble + 'DICM') and bare datasets;
   * Explicit VR Little Endian (1.2.840.10008.1.2.1) and
     Implicit VR Little Endian (1.2.840.10008.1.2);
+  * Explicit VR Big Endian (1.2.840.10008.1.2.2 — retired 2006 but
+    present in old PACS archives; pydicom reads it, so this does too);
   * Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) via zlib;
   * encapsulated (compressed) PixelData: RLE Lossless
     (1.2.840.10008.1.2.5, native PackBits decoder per PS3.5 Annex G),
@@ -37,6 +39,7 @@ from multimodalfusion_tpu import native
 
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"  # retired; dataset (not meta) is BE
 DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
@@ -116,8 +119,12 @@ class DicomSlice:
         raw = self._elements.get("PixelData")
         if raw is None:
             raise AttributeError("no PixelData")
-        arr = np.frombuffer(raw, dtype=dtype, count=rows * cols)
-        return arr.reshape(rows, cols)
+        np_dtype = np.dtype(dtype)
+        if self._elements.get("TransferSyntaxUID") == EXPLICIT_VR_BE:
+            np_dtype = np_dtype.newbyteorder(">")
+        arr = np.frombuffer(raw, dtype=np_dtype, count=rows * cols)
+        # hand downstream HU math a native-order array either way
+        return arr.reshape(rows, cols).astype(dtype, copy=False)
 
 
 # ---------------------------------------------------------------------------
@@ -520,7 +527,7 @@ def _decode_encapsulated(fragments, transfer_syntax: str, rows: int,
     return arr.astype(np.int8 if signed else np.uint8)
 
 
-def _parse_value(vr: str, raw: bytes):
+def _parse_value(vr: str, raw: bytes, e: str = "<"):
     if vr == "DS":
         parts = raw.decode("ascii", "ignore").strip("\x00 ").split("\\")
         vals = [float(p) for p in parts if p.strip()]
@@ -530,30 +537,33 @@ def _parse_value(vr: str, raw: bytes):
         vals = [int(p) for p in parts if p.strip()]
         return vals if len(vals) != 1 else vals[0]
     if vr == "US":
-        return struct.unpack("<H", raw[:2])[0]
+        return struct.unpack(e + "H", raw[:2])[0]
     if vr == "CS":
         return raw.decode("ascii", "ignore").strip("\x00 ")
     return raw
 
 
-def _elem_header(buf: bytes, pos: int, explicit: bool):
+def _elem_header(buf: bytes, pos: int, explicit: bool, e: str = "<"):
     """Parse one data-element header -> (group, elem, vr, length, vpos).
     Item/delimiter tags (group FFFE) always use the implicit 4-byte
-    length layout regardless of the dataset's transfer syntax."""
-    group, elem = struct.unpack("<HH", buf[pos:pos + 4])
+    length layout regardless of the dataset's transfer syntax.  ``e`` is
+    the dataset's byte order ('<' LE, '>' BE — VR bytes are unaffected,
+    tag/length fields swap)."""
+    group, elem = struct.unpack(e + "HH", buf[pos:pos + 4])
     if group == 0xFFFE or not explicit:
-        length = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        length = struct.unpack(e + "I", buf[pos + 4:pos + 8])[0]
         vr_s = _TAGS.get((group, elem), ("", "UN"))[1]
         return group, elem, vr_s, length, pos + 8
     vr = buf[pos + 4:pos + 6]
     if vr in _LONG_VRS:
-        length = struct.unpack("<I", buf[pos + 8:pos + 12])[0]
+        length = struct.unpack(e + "I", buf[pos + 8:pos + 12])[0]
         return group, elem, vr.decode("ascii", "ignore"), length, pos + 12
-    length = struct.unpack("<H", buf[pos + 6:pos + 8])[0]
+    length = struct.unpack(e + "H", buf[pos + 6:pos + 8])[0]
     return group, elem, vr.decode("ascii", "ignore"), length, pos + 8
 
 
-def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
+def _skip_sequence(buf: bytes, pos: int, explicit: bool,
+                   e: str = "<") -> int:
     """Skip an undefined-length sequence VALUE: a stream of items
     (FFFE,E000) ending at the sequence delimiter (FFFE,E0DD).
     Defined-length items skip by length; undefined-length items contain
@@ -562,7 +572,7 @@ def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
     (FFFE,E00D)."""
     n = len(buf)
     while pos + 8 <= n:
-        group, elem, _, length, vpos = _elem_header(buf, pos, explicit)
+        group, elem, _, length, vpos = _elem_header(buf, pos, explicit, e)
         if (group, elem) == (0xFFFE, 0xE0DD):      # sequence delimiter
             return vpos
         if (group, elem) != (0xFFFE, 0xE000):
@@ -575,11 +585,11 @@ def _skip_sequence(buf: bytes, pos: int, explicit: bool) -> int:
         # undefined-length item: walk its dataset elements
         pos = vpos
         while pos + 8 <= n:
-            g2, e2, _, l2, v2 = _elem_header(buf, pos, explicit)
+            g2, e2, _, l2, v2 = _elem_header(buf, pos, explicit, e)
             if (g2, e2) == (0xFFFE, 0xE00D):        # item delimiter
                 pos = v2
                 break
-            pos = _skip_sequence(buf, v2, explicit) \
+            pos = _skip_sequence(buf, v2, explicit, e) \
                 if l2 == 0xFFFFFFFF else v2 + l2
     return pos
 
@@ -613,14 +623,16 @@ def _read_fragments(buf: bytes, pos: int, explicit: bool):
                      "delimiter")
 
 
-def _walk(buf: bytes, pos: int, explicit: bool, stop_group=None):
+def _walk(buf: bytes, pos: int, explicit: bool, stop_group=None,
+          e: str = "<"):
     """Yield (group, elem, vr, raw_value, next_pos) element stream."""
     n = len(buf)
     while pos + 8 <= n:
-        group = struct.unpack("<H", buf[pos:pos + 2])[0]
+        group = struct.unpack(e + "H", buf[pos:pos + 2])[0]
         if stop_group is not None and group != stop_group:
             return
-        group, elem, vr_s, length, vpos = _elem_header(buf, pos, explicit)
+        group, elem, vr_s, length, vpos = _elem_header(buf, pos,
+                                                       explicit, e)
         if length == 0xFFFFFFFF:
             if vr_s not in ("SQ", "UN", "OW", "OB"):
                 raise ValueError(
@@ -628,12 +640,13 @@ def _walk(buf: bytes, pos: int, explicit: bool, stop_group=None):
                     f"({group:04x},{elem:04x})")
             if (group, elem) == (0x7FE0, 0x0010):
                 # encapsulated PixelData: item 1 is the Basic Offset
-                # Table, the rest are frame fragments (PS3.5 A.4)
+                # Table, the rest are frame fragments (PS3.5 A.4;
+                # encapsulated syntaxes are all little-endian)
                 fragments, end = _read_fragments(buf, vpos, explicit)
                 yield group, elem, vr_s, fragments, end
                 pos = end
                 continue
-            end = _skip_sequence(buf, vpos, explicit)
+            end = _skip_sequence(buf, vpos, explicit, e)
             yield group, elem, vr_s, None, end
             pos = end
             continue
@@ -658,24 +671,27 @@ def read_file(path: str) -> DicomSlice:
                 transfer_syntax = raw.decode("ascii",
                                              "ignore").strip("\x00 ")
         pos = meta_end
-    known = {EXPLICIT_VR_LE, IMPLICIT_VR_LE,
+    known = {EXPLICIT_VR_LE, IMPLICIT_VR_LE, EXPLICIT_VR_BE,
              DEFLATED_EXPLICIT_VR_LE} | _ENCAPSULATED
     if transfer_syntax not in known:
         raise NotImplementedError(
             f"transfer syntax {transfer_syntax} (unsupported "
-            f"compression or big-endian) — convert the series to "
-            f"NIfTI (data/nifti.py)")
+            f"compression) — convert the series to NIfTI "
+            f"(data/nifti.py)")
     if transfer_syntax == DEFLATED_EXPLICIT_VR_LE:
         import zlib
         # raw deflate stream (no zlib header), PS3.5 A.5
         buf = zlib.decompress(buf[pos:], -15)
         pos = 0
-    # every syntax except implicit VR encodes the dataset explicit-VR
+    # every syntax except implicit VR encodes the dataset explicit-VR;
+    # only the retired BE syntax swaps the dataset's byte order (the
+    # file-meta group stays LE either way, PS3.5 §7.1)
     explicit = transfer_syntax != IMPLICIT_VR_LE
+    e = ">" if transfer_syntax == EXPLICIT_VR_BE else "<"
 
     elements: Dict[str, object] = {
         "TransferSyntaxUID": transfer_syntax}
-    for group, elem, vr, raw, _ in _walk(buf, pos, explicit):
+    for group, elem, vr, raw, _ in _walk(buf, pos, explicit, e=e):
         name_vr = _TAGS.get((group, elem))
         if name_vr is None or raw is None:
             continue
@@ -687,7 +703,7 @@ def read_file(path: str) -> DicomSlice:
             else:
                 elements[name] = raw
         else:
-            elements[name] = _parse_value(use_vr, raw)
+            elements[name] = _parse_value(use_vr, raw, e)
     return DicomSlice(elements, path)
 
 

@@ -378,12 +378,63 @@ def test_native_dicom_skips_sequences_and_unknown_tags(tmp_path):
 
 def test_native_dicom_rejects_unknown_syntax(tmp_path):
     from multimodalfusion_tpu.data import dicom
-    ts = b"1.2.840.10008.1.2.2"  # explicit VR BIG endian: unsupported
+    ts = b"1.2.840.10008.1.2.4.57"  # JPEG Lossless P14 (non-SV1 SOS
+    # defaults): recognized nowhere in this reader's syntax table
     meta = dicom._enc_element(0x0002, 0x0010, "UI", ts)
-    p = str(tmp_path / "be.dcm")
+    p = str(tmp_path / "unk.dcm")
     open(p, "wb").write(b"\x00" * 128 + b"DICM" + meta)
     with pytest.raises(NotImplementedError, match="NIfTI"):
         dicom.read_file(p)
+
+
+def test_native_dicom_explicit_vr_big_endian(tmp_path):
+    """Explicit VR Big Endian (1.2.840.10008.1.2.2 — retired 2006 but
+    live in old PACS archives): tag, length, US, and 16-bit PixelData
+    bytes are byte-swapped while VR letters and DS text stay ASCII, and
+    the file-meta group stays LE (PS3.5 §7.1).  The reference reads
+    these through pydicom (ref utils/ct_preprocess_utils.py:14-34); the
+    native reader returns the same pixels as a native-order array."""
+    import struct
+
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    pixels = np.ascontiguousarray(vol[0], np.int16)
+    rows, cols = pixels.shape
+
+    def enc_be(group, elem, vr, value):
+        if len(value) % 2:
+            value += b" " if vr in ("DS", "IS", "CS") else b"\x00"
+        head = struct.pack(">HH", group, elem)
+        if vr.encode() in dicom._LONG_VRS:
+            return head + vr.encode() + b"\x00\x00" + struct.pack(
+                ">I", len(value)) + value
+        return head + vr.encode() + struct.pack(">H", len(value)) + value
+
+    def ds(*vals):
+        return "\\".join(f"{v:g}" for v in vals).encode()
+
+    body = (enc_be(0x0008, 0x0060, "CS", b"CT")
+            + enc_be(0x0018, 0x0050, "DS", ds(1.0))
+            + enc_be(0x0020, 0x0032, "DS", ds(0.0, 0.0, 2.5))
+            + enc_be(0x0020, 0x0037, "DS", ds(1, 0, 0, 0, 1, 0))
+            + enc_be(0x0028, 0x0010, "US", struct.pack(">H", rows))
+            + enc_be(0x0028, 0x0011, "US", struct.pack(">H", cols))
+            + enc_be(0x0028, 0x0030, "DS", ds(1.0, 1.0))
+            + enc_be(0x0028, 0x0100, "US", struct.pack(">H", 16))
+            + enc_be(0x0028, 0x0103, "US", struct.pack(">H", 1))
+            + enc_be(0x0028, 0x1052, "DS", ds(-1024.0))
+            + enc_be(0x0028, 0x1053, "DS", ds(1.0))
+            + enc_be(0x7FE0, 0x0010, "OW", pixels.astype(">i2").tobytes()))
+    meta = dicom._enc_element(0x0002, 0x0010, "UI",
+                              dicom.EXPLICIT_VR_BE.encode())
+    p = str(tmp_path / "be.dcm")
+    open(p, "wb").write(b"\x00" * 128 + b"DICM" + meta + body)
+    s = dicom.read_file(p)
+    assert s.Rows == rows and s.Columns == cols
+    assert s.ImagePositionPatient[2] == 2.5
+    arr = s.pixel_array
+    assert arr.dtype.byteorder in ("=", "|")  # native for downstream HU
+    np.testing.assert_array_equal(arr, pixels)
 
 
 def test_native_dicom_jpeg_extended_clear_error(tmp_path):
