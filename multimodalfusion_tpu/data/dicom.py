@@ -44,6 +44,7 @@ DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_BASELINE = "1.2.840.10008.1.2.4.50"
 JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"  # any predictor SV
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
 JPEG2000_LOSSLESS = "1.2.840.10008.1.2.4.90"
 JPEG2000 = "1.2.840.10008.1.2.4.91"
@@ -55,7 +56,7 @@ JPEG2000 = "1.2.840.10008.1.2.4.91"
 # decoded natively (``_decode_jpeg_lossless``).
 _PIL_SYNTAXES = {JPEG_BASELINE, JPEG2000_LOSSLESS, JPEG2000}
 _ENCAPSULATED = _PIL_SYNTAXES | {RLE_LOSSLESS, JPEG_LOSSLESS_SV1,
-                                 JPEG_EXTENDED}
+                                 JPEG_LOSSLESS_P14, JPEG_EXTENDED}
 
 # tags the CT pipeline needs (group, element) -> (name, VR)
 _TAGS = {
@@ -491,7 +492,9 @@ def _decode_encapsulated(fragments, transfer_syntax: str, rows: int,
                 f"RLE PixelData with {len(fragments)} fragments is "
                 "multi-frame — this reader handles one frame per file")
         arr = _decode_rle_frame(blob, rows, cols, bits)
-    elif transfer_syntax == JPEG_LOSSLESS_SV1:
+    elif transfer_syntax in (JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14):
+        # .70 is process 14 pinned to SV1; .57 is the same process with
+        # the predictor free — the decoder reads the SOS's SV either way
         arr = _decode_jpeg_lossless(blob, rows, cols)
         if bits == 8:
             arr = arr.astype(np.uint8)

@@ -378,13 +378,31 @@ def test_native_dicom_skips_sequences_and_unknown_tags(tmp_path):
 
 def test_native_dicom_rejects_unknown_syntax(tmp_path):
     from multimodalfusion_tpu.data import dicom
-    ts = b"1.2.840.10008.1.2.4.57"  # JPEG Lossless P14 (non-SV1 SOS
-    # defaults): recognized nowhere in this reader's syntax table
+    ts = b"1.2.840.10008.1.2.4.80"  # JPEG-LS lossless: no decoder here
     meta = dicom._enc_element(0x0002, 0x0010, "UI", ts)
     p = str(tmp_path / "unk.dcm")
     open(p, "wb").write(b"\x00" * 128 + b"DICM" + meta)
     with pytest.raises(NotImplementedError, match="NIfTI"):
         dicom.read_file(p)
+
+
+def test_native_dicom_jpeg_lossless_p14_syntax(tmp_path):
+    """Transfer syntax 1.2.840.10008.1.2.4.57 (JPEG Lossless process 14
+    with the predictor free, vs .70's SV1 pin) decodes through the same
+    native path — the SOS carries the SV either way."""
+    from multimodalfusion_tpu.data import dicom
+    vol = _synthetic_ct_volume(n=1)
+    p = str(tmp_path / "p14.dcm")
+    dicom.write_ct_slice(p, vol[0], z=0.0, compression="jpeg_lossless")
+    raw = open(p, "rb").read()
+    old_meta = dicom._enc_element(0x0002, 0x0010, "UI",
+                                  dicom.JPEG_LOSSLESS_SV1.encode())
+    assert raw[132:132 + len(old_meta)] == old_meta
+    new_meta = dicom._enc_element(0x0002, 0x0010, "UI",
+                                  dicom.JPEG_LOSSLESS_P14.encode())
+    p2 = str(tmp_path / "p14_swapped.dcm")
+    open(p2, "wb").write(raw[:132] + new_meta + raw[132 + len(old_meta):])
+    np.testing.assert_array_equal(dicom.read_file(p2).pixel_array, vol[0])
 
 
 def test_native_dicom_explicit_vr_big_endian(tmp_path):
