@@ -13,10 +13,11 @@ module implements the subset of DICOM needed by that pipeline natively:
   * Deflated Explicit VR LE (1.2.840.10008.1.2.1.99) via zlib;
   * encapsulated (compressed) PixelData: RLE Lossless
     (1.2.840.10008.1.2.5, native PackBits decoder per PS3.5 Annex G),
-    JPEG Lossless SV1 (…1.2.4.70, native ITU T.81 process-14 Huffman
-    decoder — the most common compressed syntax in clinical CT
-    archives), and the JPEG family PIL can decode — baseline
-    (…1.2.4.50) and JPEG 2000 (…1.2.4.90/.91);
+    JPEG Lossless (…1.2.4.70 SV1 — the most common compressed syntax
+    in clinical CT archives — and …1.2.4.57 with the predictor free;
+    native ITU T.81 process-14 Huffman decoder), and the JPEG family
+    PIL can decode — baseline (…1.2.4.50) and JPEG 2000
+    (…1.2.4.90/.91);
   * defined- and undefined-length sequences are skipped structurally.
 
 ``read_file`` returns a ``DicomSlice`` whose attribute surface matches
