@@ -52,12 +52,17 @@ def check_platform():
 def check_native():
     try:
         from multimodalfusion_tpu import native
-        if native.get_lib() is not None:
-            _line("ok", "native: libbagio.so loaded "
-                  "(threaded bag collation)")
-        else:
+        lib = native.get_lib()
+        if lib is None:
             _line("warn", "native: libbagio.so not built — bag collation "
                   "runs single-threaded numpy (build: make -C native)")
+        elif hasattr(lib, "mmf_jpeg_lossless_decode"):
+            _line("ok", "native: libbagio.so loaded (threaded bag "
+                  "collation + lossless-JPEG decode)")
+        else:
+            _line("warn", "native: libbagio.so is a STALE build without "
+                  "the lossless-JPEG decoder — CT decode falls back to "
+                  "Python (~30x slower; rebuild: make -C native)")
     except Exception as e:
         _line("warn", f"native: unavailable ({e}) — numpy fallback")
 
@@ -66,7 +71,8 @@ _OPTIONAL = [
     ("openslide", "pyramidal WSI IO (PIL/array backends still work; "
      "PILSlide is size-gated)"),
     ("pydicom", "DICOM via pydicom (native data/dicom.py reader is the "
-     "fallback and handles uncompressed/deflated/RLE/JPEG-PIL)"),
+     "fallback and handles uncompressed LE/BE, deflated, RLE, JPEG "
+     "Lossless, and the JPEG/J2K syntaxes PIL decodes)"),
     ("lungmask", "U-Net lung segmentation (classical fallback: "
      "dice>0.95 on phantoms, under-segments dense pathology)"),
     ("tensorboardX", "--tb event files"),
