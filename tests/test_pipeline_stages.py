@@ -130,3 +130,28 @@ def test_unimodal_pretrained_head(base):
                     weights_only=True)
     assert {"classifier.0.weight", "classifier.1.running_var",
             "classifier.4.weight"} <= set(sd)
+import importlib
+
+import pytest
+
+
+CLI_MODULES = [
+    "create_attributions", "create_heatmaps", "create_patches",
+    "doctor", "eval_pretrained", "export_model", "extract_features_fp",
+    "feature_extraction", "gradcam", "infer", "main", "main_pretrained",
+    "pre_trained_feature", "summarize",
+]
+
+
+@pytest.mark.parametrize("name", CLI_MODULES)
+def test_cli_module_imports_and_helps(name, capsys):
+    """Every reference-parity entry point imports and prints --help
+    with exit code 0: a broken import or a duplicate/invalid argparse
+    flag in ANY CLI fails here in milliseconds instead of surfacing
+    only when that stage is next exercised."""
+    mod = importlib.import_module(f"multimodalfusion_tpu.cli.{name}")
+    assert hasattr(mod, "main"), name
+    with pytest.raises(SystemExit) as exc:
+        mod.main(["--help"])
+    assert exc.value.code == 0
+    assert "usage" in capsys.readouterr().out.lower()
