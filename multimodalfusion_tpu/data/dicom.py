@@ -342,18 +342,32 @@ def _jpeg_category(diff: int) -> int:
     return int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
 
 
-def _encode_jpeg_lossless_sv1(pixels: np.ndarray) -> bytes:
-    """Encode one uint16 frame as lossless JPEG, predictor SV1
-    (writer/tests counterpart of ``_decode_jpeg_lossless``)."""
+def _encode_jpeg_lossless(pixels: np.ndarray, psv: int = 1) -> bytes:
+    """Encode one uint16 frame as lossless JPEG under any predictor
+    selection value 1..7 (writer/tests counterpart of
+    ``_decode_jpeg_lossless``).  Lossless reconstruction means the
+    decoder's neighbours Ra/Rb/Rc equal the original samples, so the
+    prediction surface vectorizes directly from ``pixels``."""
+    if not 1 <= psv <= 7:
+        raise ValueError(f"predictor selection value {psv} not in 1..7")
     pixels = np.ascontiguousarray(pixels, np.uint16)
     rows, cols = pixels.shape
     p = pixels.astype(np.int64)
-    # SV1 prediction: left neighbour; first column predicts from the
-    # row above; the very first sample from 2**(P-1)
+    # T.81 H.1.2 boundaries regardless of SV: the first sample predicts
+    # from 2**(P-1), the rest of row 0 from the left neighbour, and
+    # column 0 from the row above; interior samples use the SV.
     pred = np.empty_like(p)
-    pred[:, 1:] = p[:, :-1]
+    pred[0, 1:] = p[0, :-1]
     pred[1:, 0] = p[:-1, 0]
     pred[0, 0] = 1 << 15
+    ra, rb, rc = p[1:, :-1], p[:-1, 1:], p[:-1, :-1]
+    pred[1:, 1:] = {1: lambda: ra,
+                    2: lambda: rb,
+                    3: lambda: rc,
+                    4: lambda: ra + rb - rc,
+                    5: lambda: ra + ((rb - rc) >> 1),
+                    6: lambda: rb + ((ra - rc) >> 1),
+                    7: lambda: (ra + rb) >> 1}[psv]()
     diffs = ((p - pred) & 0xFFFF).ravel()
     diffs = np.where(diffs >= 32768, diffs - 65536, diffs)
     diffs[diffs == -32768] = 32768      # category-16 sentinel
@@ -405,12 +419,17 @@ def _encode_jpeg_lossless_sv1(pixels: np.ndarray) -> bytes:
 
     dht = bytes([0x00] + counts) + bytes(symbols)
     sof = struct.pack(">BHHB", 16, rows, cols, 1) + bytes([1, 0x11, 0])
-    sos = bytes([1, 1, 0x00, 1, 0, 0x00])   # comp 1/table 0, Ss=1 (SV1)
+    sos = bytes([1, 1, 0x00, psv, 0, 0x00])  # comp 1/table 0, Ss=SV
     return (b"\xff\xd8"
             + b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
             + b"\xff\xc3" + struct.pack(">H", len(sof) + 2) + sof
             + b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
             + bytes(out) + b"\xff\xd9")
+
+
+def _encode_jpeg_lossless_sv1(pixels: np.ndarray) -> bytes:
+    """The SV1 (DICOM …1.2.4.70) pin of ``_encode_jpeg_lossless``."""
+    return _encode_jpeg_lossless(pixels, psv=1)
 
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """PackBits per PS3.5 G.3.1 (identical to TIFF PackBits)."""
@@ -769,12 +788,16 @@ def write_ct_slice(path: str, pixels: np.ndarray, z: float,
                    slope: float = 1.0,
                    orientation=(1, 0, 0, 0, 1, 0),
                    implicit: bool = False,
-                   compression: Optional[str] = None) -> str:
+                   compression: Optional[str] = None,
+                   jpeg_psv: int = 1) -> str:
     """Write a single-frame 16-bit CT slice as a Part-10 DICOM file.
 
     compression: None (uncompressed), 'rle' (RLE Lossless), 'jpeg2000'
-    (lossless, via PIL), 'jpeg_lossless' (JPEG Lossless SV1, native
-    T.81 process-14 encoder), or 'deflated' (Deflated Explicit VR LE).
+    (lossless, via PIL), 'jpeg_lossless' (JPEG Lossless, native T.81
+    process-14 encoder — ``jpeg_psv`` picks the predictor: 1 writes
+    the DICOM-ubiquitous SV1 syntax …1.2.4.70, any other value 2..7
+    writes the predictor-free syntax …1.2.4.57), or 'deflated'
+    (Deflated Explicit VR LE).
     """
     pixels = np.ascontiguousarray(pixels, np.int16)
     rows, cols = pixels.shape
@@ -807,11 +830,11 @@ def write_ct_slice(path: str, pixels: np.ndarray, z: float,
         ts = RLE_LOSSLESS
         body += _encapsulate(_rle_encode_frame(pixels))
     elif compression == "jpeg_lossless":
-        ts = JPEG_LOSSLESS_SV1
+        ts = JPEG_LOSSLESS_SV1 if jpeg_psv == 1 else JPEG_LOSSLESS_P14
         # encode the two's-complement uint16 view; modulo-2**16
         # reconstruction makes the int16 round-trip exact
-        body += _encapsulate(_encode_jpeg_lossless_sv1(
-            pixels.view(np.uint16)))
+        body += _encapsulate(_encode_jpeg_lossless(
+            pixels.view(np.uint16), psv=jpeg_psv))
     elif compression == "jpeg2000":
         import io
 

@@ -568,21 +568,29 @@ def test_jpeg_lossless_fill_bytes_before_markers():
 
 
 def test_jpeg_lossless_predictors_decode():
-    """Streams using every predictor selection value 1..7 decode; SV1
-    equals the encoder's frame, and the others are exercised by
-    rewriting the SOS Ss byte of single-column/row frames whose
-    predictions coincide across SVs."""
-    from multimodalfusion_tpu.data.dicom import (
-        _decode_jpeg_lossless, _encode_jpeg_lossless_sv1)
+    """Every predictor selection value 1..7 round-trips a full 2-D
+    frame (interior pixels exercise each SV's actual prediction
+    formula — an earlier single-column version only proved the SOS
+    accepted the Ss byte) through BOTH the native C++ decoder and the
+    pure-Python fallback, two independent implementations of the
+    T.81 H.1 predictor table."""
+    from multimodalfusion_tpu import native
+    from multimodalfusion_tpu.data import dicom
     rng = np.random.default_rng(7)
-    img = rng.integers(0, 65536, (5, 1), np.uint16)  # one col: pred==Rb
-    blob = bytearray(_encode_jpeg_lossless_sv1(img))
-    sos_at = bytes(blob).find(b"\xff\xda")
-    ss_at = sos_at + 4 + 1 + 2 * 1          # marker+len+ns+2*ns
+    img = rng.integers(0, 65536, (9, 7), np.uint16)
+    orig = native.jpeg_lossless_decode
     for psv in range(1, 8):
-        blob[ss_at] = psv
+        blob = dicom._encode_jpeg_lossless(img, psv=psv)
         np.testing.assert_array_equal(
-            _decode_jpeg_lossless(bytes(blob), 5, 1), img)
+            dicom._decode_jpeg_lossless(blob, 9, 7), img,
+            err_msg=f"native decode, psv={psv}")
+        try:
+            native.jpeg_lossless_decode = lambda *a, **k: None
+            np.testing.assert_array_equal(
+                dicom._decode_jpeg_lossless(blob, 9, 7), img,
+                err_msg=f"python fallback decode, psv={psv}")
+        finally:
+            native.jpeg_lossless_decode = orig
 
 
 def _jpeg_stream(dht_payload, entropy, rows=2, cols=3, precision=16):
